@@ -1,0 +1,52 @@
+"""Crawl/filter configuration.
+
+Field defaults mirror the reference's shipped config
+(/root/reference/config.yaml): images.* at config.yaml:6-37, crawling.*
+at config.yaml:77-90. The reference's YAML tree is job configuration,
+not data — here it is an explicit dataclass whose values become literal
+predicates at plan-build time (Catalyst constant-folds them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # crawling (config.yaml:44-90)
+    seeds: tuple[str, ...] = ()
+    max_depth: int = 5            # 0 = unlimited; pages at depth>=max skipped
+    max_requests: int = 0         # 0 = unlimited
+    min_commons_thumb_px: int | None = None  # falls back to min_side, then 300
+
+    # images / filtering (config.yaml:6-37)
+    min_side_size: int = 400
+    formats: tuple[str, ...] = ("jpg", "jpeg", "png", "webp")
+    min_dpi: int = 0
+    color_mode: str = "all"       # 'color' | 'bw' | 'all'
+    orientation: str = "all"      # 'landscape' | 'portrait' | 'square' | 'all'
+    aspect_ratio_min: float = 0.4
+    aspect_ratio_max: float = 3.0
+    deduplication: bool = False   # config.yaml:15 ships false (code default True)
+    watermark_enabled: bool = False
+
+    # limits (config.yaml:221-224)
+    max_images: int = 0           # 0 = unlimited
+
+    # engine-only scale knobs (no reference analog; SURVEY §7)
+    host_budget: int = 64         # max fetches per host per wave (wave mode)
+    seen_partitions: int = 64     # bloom seen-set partition count
+    bloom_bits_per_key: int = 10
+    hot_host_salt: int = 8        # salt fan-out for hot hosts
+    ordering: str = "strict"      # 'strict' (reference replay) | 'wave'
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+    @property
+    def thumb_min_px(self) -> int:
+        if self.min_commons_thumb_px is not None:
+            return int(self.min_commons_thumb_px)
+        if self.min_side_size:
+            return int(self.min_side_size)
+        return 300

@@ -1,0 +1,280 @@
+"""Deterministic synthetic web (seed=42, no network) — FIXTURES.md §2-6.
+
+Tables returned (all pandas; the engine loads them as Spark DataFrames,
+the oracle walks them in Python):
+
+- ``pages``: url, host, status, html (nullable at scale m), content_md5
+- ``links``: src_url, link_idx, href_raw, dst_url (absolute ground truth)
+- ``page_items``: src_url, item_idx, channel, url — raw extraction-channel
+  occurrences in document order; channels mirror extract_images at
+  crawling_module.py:264-318 (img src / data-src / data-lazy-src,
+  parent-<a> href, data-file-url, inline CSS url(), <style> url()).
+  Classification of each occurrence (direct image vs cascade image-page
+  vs drop) is *engine/oracle logic*, not fixture data.
+- ``image_fetch``: image_url, image_id, status, content_type — what an
+  HTTP GET of each image URL would return (content-type gate coverage,
+  filtering_module.py:193-197).
+- ``robots``: host, disallow_prefixes, crawl_delay, sitemap_urls
+- ``seeds``: seed_url, seed_idx (order matters: crawling_module.py:89-93)
+
+The HTML column embeds exactly the tabulated links/items so the engine's
+HTML-regexp extraction can be cross-checked against the table backend.
+Graph shape: per-host binary trees (depth > 6) + back-edges (cycles) +
+diamonds + cross-host edges + invalid schemes; 2 hot hosts hold ~60% of
+pages (skew coverage); ~5% duplicate-content page pairs (MD5 dedup);
+a synthetic commons.wikimedia.org host exercises the Wikimedia rules
+(crawling_module.py:320-331, 362-422).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin
+
+import numpy as np
+import pandas as pd
+
+SCALES = {
+    # hosts (incl. commons), pages/host for hot|normal, images, html?
+    "xs": dict(hosts=3, hot_pages=24, norm_pages=10, images=100, html=True),
+    "s": dict(hosts=8, hot_pages=380, norm_pages=105, images=800, html=True),
+    "m": dict(hosts=16, hot_pages=42000, norm_pages=4500, images=2000, html=False),
+}
+
+_EXTS = {"png": ".png", "bmp": ".bmp", "gif": ".gif", "svg": ".svg", "unknown": ".png"}
+_CTYPE = {"png": "image/png", "bmp": "image/bmp", "gif": "image/gif",
+          "svg": "image/svg+xml", "unknown": "image/png"}
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _stable_hash(s: str) -> int:
+    """Process-independent string hash (Python's hash() is randomized)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:6], "big")
+
+
+def _mk_image_url(rng, host: str, image_id: str, fmt: str) -> str:
+    """Image URL variants covering is_valid_image_url branches."""
+    r = rng.random()
+    ext = _EXTS.get(fmt, ".png")
+    if r < 0.08:
+        # Wikimedia thumb (crawling_module.py:384-411); width straddles min px
+        px = int(rng.choice([48, 120, 240, 360, 512, 800]))
+        return (f"https://commons.wikimedia.org/w/thumb/{image_id}{ext}/"
+                f"{px}px-{image_id}{ext}")
+    if r < 0.12:
+        # Special:FilePath — extensionless, passes via the commons rule
+        return f"https://commons.wikimedia.org/wiki/Special:FilePath/{image_id}"
+    if r < 0.20:
+        return f"https://upload.wikimedia.org/c/{image_id}{ext}"
+    if r < 0.26:
+        # query-string URL: endswith() extension check fails → never extracted
+        return f"https://{host}/static/{image_id}{ext}?v=2"
+    if r < 0.30:
+        # wrong-extension URL (.jpg serving png bytes): format filter sees jpg
+        return f"https://{host}/static/{image_id}.jpg"
+    return f"https://{host}/static/{image_id}{ext}"
+
+
+def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | None = None):
+    cfg = SCALES[scale]
+    n_hosts = cfg["hosts"]
+    with_html = cfg["html"]
+    hosts = [f"site{k}.test" for k in range(n_hosts - 1)] + ["commons.wikimedia.org"]
+    hot = set(hosts[:2])
+
+    if images_df is None:
+        from snapcrawler_spark.fixtures.images import generate_images
+        images_df, _ = generate_images(seed, cfg["images"])
+    image_ids = images_df["image_id"].tolist()
+    image_fmt = dict(zip(images_df["image_id"], images_df["fmt"]))
+
+    page_rows, link_rows, item_rows = [], [], []
+    fetch_map: dict[str, tuple[str, int, str]] = {}
+
+    def page_urls_for(host: str, n: int) -> list[str]:
+        rng = np.random.Generator(np.random.PCG64(seed * 7919 + _stable_hash(host) % 65536))
+        urls = [f"https://{host}/"]
+        for j in range(1, n):
+            r = rng.random()
+            if host == "commons.wikimedia.org":
+                if r < 0.25:
+                    urls.append(f"https://{host}/wiki/File:Img{j}.png")
+                elif r < 0.35:
+                    urls.append(f"https://{host}/wiki/Category:Cat{j}")
+                else:
+                    urls.append(f"https://{host}/wiki/Art{j}")
+            elif r < 0.10:
+                urls.append(f"https://{host}/image/{j}")
+            elif r < 0.15:
+                urls.append(f"https://{host}/gallery/{j}")
+            elif r < 0.20:
+                urls.append(f"https://{host}/p/private/{j}")
+            else:
+                urls.append(f"https://{host}/p/{j}")
+        return urls
+
+    host_pages = {
+        h: page_urls_for(h, cfg["hot_pages"] if h in hot else cfg["norm_pages"])
+        for h in hosts
+    }
+
+    for host in hosts:
+        urls = host_pages[host]
+        n = len(urls)
+        for j, url in enumerate(urls):
+            rng = np.random.Generator(
+                np.random.PCG64(seed * 104729 + _stable_hash(url))
+            )
+            status = 200
+            r = rng.random()
+            if r < 0.04:
+                status = 404
+            elif r < 0.06:
+                status = 429
+            elif r < 0.08:
+                status = 503
+
+            # --- links: binary-tree children + diamonds/cycles/cross/invalid
+            targets: list[str] = []
+            for c in (2 * j + 1, 2 * j + 2):
+                if c < n:
+                    targets.append(urls[c])
+            extra = int(rng.integers(0, 4))
+            for _ in range(extra):
+                rr = rng.random()
+                if rr < 0.35 and j > 0:        # back-edge / diamond
+                    targets.append(urls[int(rng.integers(0, j))])
+                elif rr < 0.55:                 # cross-host
+                    oh = hosts[int(rng.integers(0, len(hosts)))]
+                    op = host_pages[oh]
+                    targets.append(op[int(rng.integers(0, len(op)))])
+                elif rr < 0.65:                 # unknown host (must be dropped)
+                    targets.append(f"https://site-isolated.test/p/{int(rng.integers(0, 50))}")
+                elif rr < 0.75:                 # invalid schemes
+                    targets.append(
+                        ["mailto:a@b.test", "javascript:void(0)",
+                         f"ftp://{host}/f"][int(rng.integers(0, 3))]
+                    )
+                elif rr < 0.85:                 # fragment variant
+                    targets.append(urls[int(rng.integers(0, n))] + "#frag")
+                else:                           # duplicate of a child link
+                    if targets:
+                        targets.append(targets[0])
+
+            html_parts = [f"<html><head><title>{url}</title></head><body>"]
+            for li, dst in enumerate(targets):
+                href = dst
+                if dst.startswith(f"https://{host}/") and rng.random() < 0.3:
+                    href = dst[len(f"https://{host}") :]  # relative form
+                abs_dst = urljoin(url, href)
+                link_rows.append((url, li, href, abs_dst))
+                html_parts.append(f'<a href="{href}">l{li}</a>')
+
+            # --- image items per extraction channel
+            n_imgs = int(rng.integers(0, 5)) if status == 200 else int(rng.integers(0, 5))
+            item_idx = 0
+            for _ in range(n_imgs):
+                iid = image_ids[int(rng.integers(0, len(image_ids)))]
+                iurl = _mk_image_url(rng, host, iid, image_fmt[iid])
+                ch = ["img_src", "img_datasrc", "file_url", "css_inline",
+                      "css_style", "parent_a"][int(rng.integers(0, 6))]
+                if iurl not in fetch_map:
+                    fr = rng.random()
+                    st = 404 if fr < 0.03 else 200
+                    ct = "text/html" if 0.03 <= fr < 0.06 else _CTYPE[image_fmt[iid]]
+                    fetch_map[iurl] = (iid, st, ct)
+                if ch == "parent_a":
+                    # <a href=X><img src=Y></a>: Y is an img_src item, X is
+                    # either a direct image URL or an image-page URL (cascade)
+                    inner = _mk_image_url(rng, host, iid, image_fmt[iid])
+                    if inner not in fetch_map:
+                        fetch_map[inner] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    if rng.random() < 0.5:
+                        # href → an image page of this host (cascade coverage)
+                        own = host_pages[host]
+                        cand = [u for u in own if "/image/" in u or "/gallery/" in u
+                                or "/wiki/File:" in u or "/wiki/Category:" in u]
+                        href_target = (cand[int(rng.integers(0, len(cand)))]
+                                       if cand else iurl)
+                    else:
+                        href_target = iurl
+                    item_rows.append((url, item_idx, "img_src", inner))
+                    item_idx += 1
+                    item_rows.append((url, item_idx, "parent_a_href", href_target))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<a href="{href_target}"><img src="{inner}"/></a>'
+                    )
+                else:
+                    item_rows.append((url, item_idx, ch, iurl))
+                    item_idx += 1
+                    if ch == "img_src":
+                        html_parts.append(f'<img src="{iurl}"/>')
+                    elif ch == "img_datasrc":
+                        html_parts.append(f'<img data-src="{iurl}"/>')
+                    elif ch == "file_url":
+                        html_parts.append(f'<div data-file-url="{iurl}">x</div>')
+                    elif ch == "css_inline":
+                        html_parts.append(
+                            f'<div style="background-image: url(\'{iurl}\')">y</div>'
+                        )
+                    else:
+                        html_parts.append(
+                            f'<style>.c{item_idx}{{background:url("{iurl}")}}</style>'
+                        )
+            html_parts.append("</body></html>")
+            html = "".join(html_parts)
+            page_rows.append((url, host, status, html if with_html else None,
+                              _md5(html)))
+
+    pages = pd.DataFrame(
+        page_rows, columns=["url", "host", "status", "html", "content_md5"]
+    )
+    # ~5% duplicate-content pairs: later page adopts an earlier page's html
+    rng = np.random.Generator(np.random.PCG64(seed * 31337))
+    n_pages = len(pages)
+    dup_idx = rng.choice(n_pages, size=max(1, n_pages // 20), replace=False)
+    links = pd.DataFrame(link_rows, columns=["src_url", "link_idx", "href_raw", "dst_url"])
+    items = pd.DataFrame(item_rows, columns=["src_url", "item_idx", "channel", "url"])
+    for di in sorted(int(x) for x in dup_idx):
+        if di == 0:
+            continue
+        twin = int(rng.integers(0, di))
+        di_url, twin_url = pages.at[di, "url"], pages.at[twin, "url"]
+        pages.at[di, "html"] = pages.at[twin, "html"]
+        pages.at[di, "content_md5"] = pages.at[twin, "content_md5"]
+        links = links[links.src_url != di_url]
+        items = items[items.src_url != di_url]
+        tl = links[links.src_url == twin_url].copy()
+        tl["src_url"] = di_url
+        # twin's relative hrefs resolve against the *duplicate's* URL
+        tl["dst_url"] = [urljoin(di_url, h) for h in tl["href_raw"]]
+        ti = items[items.src_url == twin_url].copy()
+        ti["src_url"] = di_url
+        links = pd.concat([links, tl], ignore_index=True)
+        items = pd.concat([items, ti], ignore_index=True)
+
+    image_fetch = pd.DataFrame(
+        [(u, i, s, c) for u, (i, s, c) in fetch_map.items()],
+        columns=["image_url", "image_id", "status", "content_type"],
+    )
+    robots = pd.DataFrame(
+        [
+            (h, ["/p/private"] if k % 2 == 0 else [],
+             float(1 + (k % 3)), [f"https://{h}/sitemap.xml"] if k % 4 == 0 else [])
+            for k, h in enumerate(hosts)
+        ],
+        columns=["host", "disallow_prefixes", "crawl_delay", "sitemap_urls"],
+    )
+    seeds_df = pd.DataFrame(
+        [(f"https://{h}/", i) for i, h in enumerate(hosts)],
+        columns=["seed_url", "seed_idx"],
+    )
+    links = links.sort_values(["src_url", "link_idx"]).reset_index(drop=True)
+    items = items.sort_values(["src_url", "item_idx"]).reset_index(drop=True)
+    return dict(pages=pages, links=links, page_items=items,
+                image_fetch=image_fetch, robots=robots, seeds=seeds_df,
+                images=images_df)

@@ -1,0 +1,306 @@
+"""Pure-Python crawl oracle — the independent reference semantics.
+
+Replays the parallel-mode crawl loop of the reference exactly
+(crawling_module.py:80-189 run loop, :191-262 crawl_page, :264-318
+extract_images, :320-341 image-page cascade, :343-360 extract_links,
+:362-422 is_valid_image_url) followed by the consumer filter chain
+(filtering_module.py:140-182 process_image, :184-258 download gate,
+:267-356 apply_filters order), over the fixture tables instead of HTTP.
+
+Two documented deviations from live-reference behavior, both pinned as
+*our* spec (SURVEY §5):
+
+1. Per-page image order: the reference's ``list(set(images))`` order is
+   PYTHONHASHSEED-dependent; the spec canonicalizes to sorted order.
+2. Decode: PIL is unavailable in-sandbox; payloads undecodable by our
+   codecs (gif stubs, corrupt bytes) reject with ``decode_error`` where
+   PIL might have decoded them.
+
+Engine-only capability (no reference analog): robots gating — enabled
+via config.extra['robots_enabled'], pages under a disallowed prefix are
+skipped before fetch and counted ``robots_blocked``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+import numpy as np
+import pandas as pd
+
+from snapcrawler_spark.conf import CrawlConfig
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico")
+_EXCLUDE_PATTERNS = (".css", ".js", ".html", ".php", ".xml", ".json")
+_IMAGE_PAGE_PATTERNS = (
+    "/image/", "/photo/", "/picture/", "/img/", "/gallery/",
+    "image_id=", "photo_id=", "picture_id=",
+)
+_THUMB_RE = re.compile(r"/(\d+)px-")
+
+
+def is_valid_image_url(url: str, cfg: CrawlConfig) -> bool:
+    """Mirror of crawling_module.py:362-422."""
+    url_lower = url.lower()
+    parsed = urlparse(url)
+    if parsed.netloc.endswith("commons.wikimedia.org"):
+        path_lower = parsed.path.lower()
+        if path_lower.startswith("/wiki/file:"):
+            return False
+        if path_lower.startswith("/wiki/special:filepath/"):
+            return True
+    if parsed.netloc.endswith("upload.wikimedia.org"):
+        if any(url_lower.endswith(ext) for ext in _IMAGE_EXTS):
+            return True
+    if "commons.wikimedia.org" in url_lower and "/thumb/" in url_lower:
+        m = _THUMB_RE.search(url_lower)
+        if m and int(m.group(1)) < cfg.thumb_min_px:
+            return False
+        return True
+    if any(url_lower.endswith(ext) for ext in _IMAGE_EXTS):
+        return True
+    return False
+
+
+def is_image_page_url(url: str, base_url: str) -> bool:
+    """Mirror of crawling_module.py:320-331."""
+    if "commons.wikimedia.org" in base_url:
+        return "/wiki/File:" in url or "/wiki/Category:" in url
+    return any(p in url.lower() for p in _IMAGE_PAGE_PATTERNS)
+
+
+def url_ext(image_url: str) -> str:
+    """Format-filter extension: URL path basename ext, else 'jpg'
+    (download_image filename fallback, filtering_module.py:199-203)."""
+    basename = os.path.basename(urlparse(image_url).path)
+    if "." in basename:
+        return basename.rsplit(".", 1)[1].lower()
+    return "jpg"
+
+
+def strip_fragment(url: str) -> str:
+    return url.split("#", 1)[0]
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list = field(default_factory=list)   # (fetch_seq, url, depth)
+    seen_set: set = field(default_factory=set)
+    image_items: list = field(default_factory=list)   # (item_seq, image_url, source_page, depth)
+    accepted: list = field(default_factory=list)      # (item_seq, image_url, image_id, phash)
+    rejections: list = field(default_factory=list)    # (item_seq, image_url, reason)
+    robots_blocked: list = field(default_factory=list)
+    counters: dict = field(default_factory=dict)
+
+
+def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
+    pages = {
+        r.url: (int(r.status), r.content_md5)
+        for r in web["pages"].itertuples()
+    }
+    links_by: dict[str, list] = {}
+    for r in web["links"].itertuples():
+        links_by.setdefault(r.src_url, []).append((int(r.link_idx), r.dst_url))
+    for v in links_by.values():
+        v.sort()
+    items_by: dict[str, list] = {}
+    for r in web["page_items"].itertuples():
+        items_by.setdefault(r.src_url, []).append((int(r.item_idx), r.channel, r.url))
+    for v in items_by.values():
+        v.sort()
+    fetch = {
+        r.image_url: (r.image_id, int(r.status), r.content_type)
+        for r in web["image_fetch"].itertuples()
+    }
+    meta = {}
+    img_df = web["images"]
+    pix_df = web.get("images_pixels")
+    pix = (
+        {r.image_id: (r.mode, r.dpi) for r in pix_df.itertuples()}
+        if pix_df is not None
+        else {}
+    )
+    for r in img_df.itertuples():
+        mode, dpi = pix.get(r.image_id, ("RGB", None))
+        if dpi is not None and isinstance(dpi, float) and np.isnan(dpi):
+            dpi = None
+        meta[r.image_id] = dict(
+            w=int(r.w), h=int(r.h), fmt=r.fmt, caption=r.caption,
+            phash=int(r.phash), mode=mode, dpi=dpi,
+        )
+
+    robots_enabled = bool(cfg.extra.get("robots_enabled", False))
+    disallow: dict[str, list[str]] = {}
+    if robots_enabled:
+        for r in web["robots"].itertuples():
+            disallow[r.host] = list(r.disallow_prefixes)
+
+    res = OracleResult()
+    seeds = [r.seed_url for r in web["seeds"].sort_values("seed_idx").itertuples()]
+    allowed_domains = {urlparse(s).netloc for s in seeds}
+
+    # ---- producer loop (crawling_module.py:80-189) ----
+    queue: list[tuple[str, int]] = []
+    visited: set[str] = set()
+    page_hashes: set[str] = set()
+    for s in seeds:
+        queue.append((s, 0))
+        visited.add(s)
+
+    request_count = 0
+    fetch_seq = 0
+    item_seq = 0
+    while queue and (cfg.max_requests == 0 or request_count < cfg.max_requests):
+        url, depth = queue.pop(0)
+        if cfg.max_depth > 0 and depth >= cfg.max_depth:
+            continue
+        if robots_enabled:
+            p = urlparse(url)
+            if any(p.path.startswith(pref) for pref in disallow.get(p.netloc, ())):
+                res.robots_blocked.append(url)
+                continue
+
+        # crawl_page
+        images: list[str] = []
+        cascades: list[str] = []
+        new_links: list[str] = []
+        page = pages.get(strip_fragment(url))
+        if page is not None and page[0] == 200:
+            md5 = page[1]
+            if md5 not in page_hashes:
+                page_hashes.add(md5)
+                img_set: set[str] = set()
+                for _idx, channel, iurl in items_by.get(strip_fragment(url), ()):
+                    if channel == "parent_a_href":
+                        if is_valid_image_url(iurl, cfg):
+                            img_set.add(iurl)
+                        elif is_image_page_url(iurl, url) and iurl not in visited:
+                            cascades.append(iurl)
+                    else:
+                        if is_valid_image_url(iurl, cfg):
+                            img_set.add(iurl)
+                images = sorted(img_set)  # canonical order (spec deviation 1)
+                for _idx, dst in links_by.get(strip_fragment(url), ()):
+                    parsed = urlparse(dst)
+                    if (
+                        parsed.netloc in allowed_domains
+                        and parsed.scheme in ("http", "https")
+                        and dst not in visited
+                    ):
+                        new_links.append(dst)
+
+        res.crawl_order.append((fetch_seq, url, depth))
+        fetch_seq += 1
+        for iurl in images:
+            res.image_items.append((item_seq, iurl, url, depth))
+            item_seq += 1
+        # cascade front-insertion reverses relative order (crawling_module.py:137-140)
+        for c in cascades:
+            if c not in visited:
+                queue.insert(0, (c, depth))
+                visited.add(c)
+        for link in new_links:
+            if link not in visited:
+                queue.append((link, depth + 1))
+                visited.add(link)
+        request_count += 1
+
+    res.seen_set = visited
+
+    # ---- consumer filter chain (filtering_module.py:140-182, 267-356) ----
+    downloaded = 0
+    processed = 0
+    phash_seen: set[int] = set()
+    for item_seq_, iurl, src, depth in res.image_items:
+        if cfg.max_images > 0 and processed >= cfg.max_images:
+            break
+        f = fetch.get(iurl)
+        if f is None or f[1] != 200:
+            res.rejections.append((item_seq_, iurl, "http_error"))
+            continue
+        image_id, _status, ctype = f
+        if "image" not in ctype.lower():
+            res.rejections.append((item_seq_, iurl, "non_image_content_type"))
+            continue
+        downloaded += 1
+        ext = url_ext(iurl)
+        if ext == "svg":
+            res.rejections.append((item_seq_, iurl, "svg_unsupported"))
+            continue
+        m = meta.get(image_id)
+        if m is None or m["fmt"] in ("unknown", "gif", "svg"):
+            # undecodable in-sandbox (spec deviation 2)
+            res.rejections.append((item_seq_, iurl, "decode_error"))
+            continue
+        w, h = m["w"], m["h"]
+        if cfg.min_side_size > 0 and min(w, h) < cfg.min_side_size:
+            res.rejections.append((item_seq_, iurl, "size"))
+            continue
+        if cfg.formats and ext not in [x.lower() for x in cfg.formats]:
+            res.rejections.append((item_seq_, iurl, "format"))
+            continue
+        if cfg.min_dpi > 0 and m["dpi"] is not None and m["dpi"] < cfg.min_dpi:
+            res.rejections.append((item_seq_, iurl, "dpi"))
+            continue
+        if cfg.color_mode != "all":
+            is_gray = m["mode"] == "L"
+            if (cfg.color_mode == "color" and is_gray) or (
+                cfg.color_mode == "bw" and not is_gray
+            ):
+                res.rejections.append((item_seq_, iurl, "color"))
+                continue
+        if cfg.orientation != "all":
+            bad = (
+                (cfg.orientation == "landscape" and w < h)
+                or (cfg.orientation == "portrait" and h < w)
+                or (cfg.orientation == "square" and w != h)
+            )
+            if bad:
+                res.rejections.append((item_seq_, iurl, "orientation"))
+                continue
+        ratio = w / h if h > 0 else 1.0
+        if (cfg.aspect_ratio_min > 0 and ratio < cfg.aspect_ratio_min) or (
+            cfg.aspect_ratio_max > 0 and ratio > cfg.aspect_ratio_max
+        ):
+            res.rejections.append((item_seq_, iurl, "aspect"))
+            continue
+        if cfg.deduplication:
+            if m["phash"] in phash_seen:
+                res.rejections.append((item_seq_, iurl, "duplicate_phash"))
+                continue
+            phash_seen.add(m["phash"])
+        res.accepted.append((item_seq_, iurl, image_id, m["phash"]))
+        processed += 1
+
+    res.counters = dict(
+        pages_crawled=fetch_seq,
+        images_found=item_seq,
+        downloaded=downloaded,
+        processed=processed,
+        filtered_out=len(res.rejections),
+        robots_blocked=len(res.robots_blocked),
+        unique_urls=len(visited),
+    )
+    return res
+
+
+def oracle_to_frames(res: OracleResult) -> dict[str, pd.DataFrame]:
+    """Golden outputs as DataFrames (FIXTURES.md §7)."""
+    return {
+        "golden_crawl_order": pd.DataFrame(
+            res.crawl_order, columns=["fetch_seq", "url", "depth"]
+        ),
+        "golden_seen_set": pd.DataFrame(sorted(res.seen_set), columns=["url"]),
+        "golden_items": pd.DataFrame(
+            res.image_items, columns=["item_seq", "image_url", "source_page", "depth"]
+        ),
+        "golden_accepted": pd.DataFrame(
+            res.accepted, columns=["item_seq", "image_url", "image_id", "phash"]
+        ),
+        "golden_rejections": pd.DataFrame(
+            res.rejections, columns=["item_seq", "image_url", "reason"]
+        ),
+    }
