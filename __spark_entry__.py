@@ -1,38 +1,706 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() pairs over the testdata
+tables, mapping every operator family from SURVEY.md §2 plus the
+training-data pipeline ops onto DuckDB-checkable queries.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Float discipline for hash-stable comparison:
+- money/value aggregates are integerized BEFORE summing
+  (sum(round(x·100)) as BIGINT cents) — double-sum order is
+  nondeterministic in both engines, integer sums are exact;
+- per-row float math is rounded (identical op sequence → identical
+  IEEE doubles in both engines);
+- computed integer columns are cast to BIGINT on the Spark side to
+  match DuckDB's BIGINT-by-default.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapcrawler_spark.pipeline import ann as _ann
+from snapcrawler_spark.pipeline import dedup as _dedup
+from snapcrawler_spark.pipeline import text as _text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, filters (predicate pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q_scan_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _cents(F.col("l_quantity")).alias("qty_cents"),
+        )
+    )
+
+
+def q_filter_chain(spark, sf_dir):
+    """Multi-predicate ordered filter chain (image filter-chain shape:
+    cheap predicates composed, filtering_module.py:267-356)."""
+    p = _t(spark, sf_dir, "part")
+    ratio = F.col("p_retailprice") / F.col("p_size")
+    return (
+        p.where(F.col("p_size").between(5, 40))
+        .where(F.lower(F.col("p_type")).contains("brass"))
+        .where(ratio > 30)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            _cents(F.col("p_retailprice")).alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins / membership probes
+# ---------------------------------------------------------------------------
+
+def q_seen_anti_join(spark, sf_dir):
+    """URL-seen-set shape: anti-join (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_seen_semi_join(spark, sf_dir):
+    """Membership probe (EXISTS): suppliers that ship >49-qty lines."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    """Small-dim broadcast join (robots-table shape): revenue by nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/2.5 first-wins dedup windows (page-MD5 / pHash probes)
+# ---------------------------------------------------------------------------
+
+def q_first_wins_md5(spark, sf_dir):
+    """Page-hash dedup shape: first doc (lowest doc_id) per content md5."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", F.md5(F.col("text")).alias("content_md5"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "content_md5")
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """Per-host budget window: first 3 events per user by time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_latest_wins_fold(spark, sf_dir):
+    """Stats-fold shape (parallel_manager.py:124-144): latest event value
+    per (user, type) by timestamp."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            _cents(F.col("value")).alias("value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (counter shapes)
+# ---------------------------------------------------------------------------
+
+def q_counter_tally(spark, sf_dir):
+    """Per-(host,status) tally shape: events by type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+def q_per_depth_counts(spark, sf_dir):
+    """Per-depth URL ledger shape: documents per (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (scan→filter→groupBy partial-agg showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + ordered top-10."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 windows, sorts, top-k
+# ---------------------------------------------------------------------------
+
+def q_running_sum(spark, sf_dir):
+    """Running frontier-size shape: cumulative order value per customer."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
+def q_ordered_prefix_cap(spark, sf_dir):
+    """max_requests cap shape: globally-first 100 orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops (extraction-channel union shape)
+# ---------------------------------------------------------------------------
+
+def q_union_channels(spark, sf_dir):
+    """8-channel extraction union shape (image_spider.py:165-235):
+    distinct union of two 'channels' of user ids."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("value") > 90).select("user_id")
+    return a.union(b).distinct().withColumn("user_id", F.col("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions (regexp / json / string)
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark, sf_dir):
+    """Ajax-JSON extraction shape (middlewares.py:230-248): pull the
+    numeric k field out of the props JSON."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).where(F.col("k") > 80)
+
+
+def q_string_kernels(spark, sf_dir):
+    """URL-string kernel shape: lower/split/substring/md5 combo."""
+    d = _t(spark, sf_dir, "documents")
+    first_word = F.element_at(F.split(F.col("text"), " "), 1)
+    return d.select(
+        "doc_id",
+        first_word.alias("first_word"),
+        F.length("text").cast("long").alias("len"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("md5_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming-shaped (sessionization / tumbling windows)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """Wave/batch iteration shape: gap-based sessions (>600s) per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer epochs in both engines (cast: parquet yields NTZ,
+    # session TZ is pinned UTC so the cast is lossless)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_tumbling_window(spark, sf_dir):
+    """Per-wave metrics shape: hourly tumbling aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # crawl-operator shapes (SURVEY §2)
+        "scan_filter": q_scan_filter,
+        "filter_chain": q_filter_chain,
+        "seen_anti_join": q_seen_anti_join,
+        "seen_semi_join": q_seen_semi_join,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "first_wins_md5": q_first_wins_md5,
+        "politeness_topk": q_politeness_topk,
+        "latest_wins_fold": q_latest_wins_fold,
+        "counter_tally": q_counter_tally,
+        "per_depth_counts": q_per_depth_counts,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "running_sum": q_running_sum,
+        "ordered_prefix_cap": q_ordered_prefix_cap,
+        "union_channels": q_union_channels,
+        "json_extract": q_json_extract,
+        "string_kernels": q_string_kernels,
+        "sessionize": q_sessionize,
+        "tumbling_window": q_tumbling_window,
+        # training-data pipeline (documents / embeddings)
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "ann_brute_force": _ann.ann_brute_force,
+        "ann_lsh": _ann.ann_lsh,
+        "embedding_norm_stats": _ann.norm_stats,
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the pricing-summary aggregate at sf0.001 (scan → filter
+    pushdown → partial-agg groupBy; the engine's bread-and-butter plan)."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+_STOP = "'" + "','".join(_text.STOPWORDS) + "'"
+_LANG_CASES = " ".join(
+    f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in _text.LANG_MARKERS
+)
+_LANG_SCORES = ", ".join(
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('"
+    + "','".join(m)
+    + f"'))) AS s_{lang}"
+    for lang, m in _text.LANG_MARKERS.items()
+)
+_H60 = "cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nm = _dedup.N_MINHASH
+    rpb = _dedup.N_MINHASH // _dedup.LSH_BANDS
+    return {
+        "scan_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   cast(round(l_quantity * 100) as bigint) AS qty_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45
+        """,
+        "filter_chain": """
+            SELECT p_partkey, p_brand, p_size,
+                   cast(round(p_retailprice * 100) as bigint) AS price_cents
+            FROM part
+            WHERE p_size BETWEEN 5 AND 40
+              AND lower(p_type) LIKE '%brass%'
+              AND p_retailprice / p_size > 30
+        """,
+        "seen_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "seen_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """,
+        "broadcast_join_agg": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(cast(round(o_totalprice * 100) as bigint)) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "first_wins_md5": """
+            SELECT doc_id, source, content_md5 FROM (
+              SELECT doc_id, source, md5(text) AS content_md5,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "politeness_topk": """
+            SELECT user_id, event_id, event_type, rn FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "latest_wins_fold": """
+            SELECT user_id, event_type, event_id,
+                   cast(round(value * 100) as bigint) AS value_cents FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "counter_tally": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+                   sum(cast(round(value * 100) as bigint)) AS value_cents
+            FROM events GROUP BY event_type
+        """,
+        "per_depth_counts": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   min(doc_id) AS first_doc
+            FROM documents GROUP BY lang, source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(round(l_quantity * 100) as bigint)) AS sum_qty_cents,
+                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_cents,
+                   sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+        """,
+        "running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   sum(cast(round(o_totalprice * 100) as bigint)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+            FROM orders WHERE o_custkey % 100 = 0
+        """,
+        "ordered_prefix_cap": """
+            SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+            ORDER BY o_orderdate, o_orderkey LIMIT 100
+        """,
+        "union_channels": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id FROM events WHERE value > 90)
+        """,
+        "json_extract": """
+            SELECT event_id, cast(json_extract_string(props, '$.k') as bigint) AS k
+            FROM events
+            WHERE cast(json_extract_string(props, '$.k') as bigint) > 80
+        """,
+        "string_kernels": """
+            SELECT doc_id, string_split(text, ' ')[1] AS first_word,
+                   cast(length(text) as bigint) AS len,
+                   substr(md5(text), 1, 8) AS md5_prefix
+            FROM documents
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_id,
+                     cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sess_id,
+                     ts
+              FROM g
+            )
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                   sum(cast(round(value * 100) as bigint)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        # ---- training-data pipeline -------------------------------------
+        "text_token_count": """
+            SELECT doc_id,
+                   cast(len(string_split(text, ' ')) as int) AS n_tokens,
+                   cast(length(text) as int) AS n_chars_actual,
+                   cast(floor((length(text) * 1.0 / len(string_split(text, ' ')))
+                              * 10000) as bigint) AS avg_token_len_e4
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality_score": f"""
+            WITH b AS (
+              SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     least(length(text) / 500.0, 1.0) AS len_score,
+                     len(list_filter(toks, x -> x IN ({_STOP}))) * 1.0 / len(toks)
+                       AS stop_ratio,
+                     cast(length(text) - length(replace(text, '.', '')) as int)
+                       AS n_sentences
+              FROM b)
+            SELECT doc_id, cast(floor(len_score * 10000) as bigint) AS len_score_e4,
+                   cast(floor(stop_ratio * 10000) as bigint) AS stop_ratio_e4,
+                   n_sentences,
+                   cast(floor((0.5 * len_score + 0.5 * stop_ratio) * 10000) as bigint)
+                     AS quality_e4
+            FROM m ORDER BY doc_id
+        """,
+        "text_lang_id": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_LANG_SCORES} FROM documents
+            ), b AS (
+              SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s
+            )
+            SELECT doc_id, lang AS lang_true,
+                   CASE {_LANG_CASES} ELSE 'und' END AS lang_pred
+            FROM b ORDER BY doc_id
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS fp,
+                   substr(md5(regexp_replace(lower(text), '[^a-z ]', '', 'g')), 1, 4)
+                     AS fp_bucket
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, count(*) AS n_copies,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            ORDER BY keeper_doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   cast(floor((n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common))
+                              * 10000) as bigint) AS jaccard_e4
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ), hs AS (
+              SELECT doc_id, h, shingle,
+                     {_H60.format(x="h::VARCHAR || '|' || shingle")} AS hv
+              FROM sh, unnest(range(0, {nm})) AS uh(h)
+            ), sig AS (
+              SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h
+            ), bands AS (
+              SELECT doc_id, cast(h / {rpb} as int) AS band,
+                     md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bucket
+              FROM sig GROUP BY doc_id, cast(h / {rpb} as int)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ), est AS (
+              SELECT doc_a, doc_b,
+                     cast(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                          as bigint) AS n_agree
+              FROM cand
+              JOIN sig sa ON sa.doc_id = doc_a
+              JOIN sig sb ON sb.doc_id = doc_b AND sb.h = sa.h
+              GROUP BY doc_a, doc_b
+            )
+            SELECT doc_a, doc_b, n_agree FROM est
+            WHERE n_agree >= {int(0.5 * nm)} ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash": f"""
+            WITH words AS (
+              SELECT doc_id, {_H60.format(x="w")} AS hv
+              FROM documents, unnest(string_split(text, ' ')) AS uw(w)
+            ), bits AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM words, unnest(range(0, 32)) AS ub(bit)
+              GROUP BY doc_id, bit
+            ), packed AS (
+              SELECT doc_id,
+                     cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                          as bigint) AS simhash
+              FROM bits GROUP BY doc_id
+            ), segs AS (
+              SELECT doc_id, simhash, seg, (simhash >> (seg * 8)) & 255 AS seg_val
+              FROM packed, unnest(range(0, 4)) AS us(seg)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM segs a JOIN segs b
+                ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, cast(bit_count(xor(sh_a, sh_b)) as int) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_brute_force": """
+            WITH e AS (
+              SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0
+            ), pairs AS (
+              SELECT query_id, e.vec_id AS nn_id,
+                     cast(floor((list_dot_product(qv, v) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))))
+                           * 1000000) as bigint) AS cosine_e6
+              FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nn_id, cosine_e6, rank FROM (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine_e6 DESC, nn_id) AS rank
+              FROM pairs) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "ann_lsh": """
+            WITH e AS (
+              SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+            ), planes AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id, v AS pv
+              FROM e ORDER BY vec_id LIMIT 8
+            ), sig AS (
+              SELECT vec_id,
+                     cast(sum(CASE WHEN list_dot_product(v, pv) >= 0
+                         THEN (1::BIGINT << plane_id) ELSE 0 END) as bigint) AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id
+            ), es AS (
+              SELECT e.vec_id, v, bucket FROM e JOIN sig ON e.vec_id = sig.vec_id
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv, bucket FROM es WHERE vec_id % 50 = 0
+            ), cand AS (
+              SELECT query_id, es.vec_id AS nn_id,
+                     cast(floor((list_dot_product(qv, v) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))))
+                           * 1000000) as bigint) AS cosine_e6
+              FROM q JOIN es ON q.bucket = es.bucket AND es.vec_id <> q.query_id
+            )
+            SELECT query_id, nn_id, cosine_e6, rank FROM (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine_e6 DESC, nn_id) AS rank
+              FROM cand) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_norm_stats": """
+            WITH e AS (
+              SELECT label, sqrt(list_dot_product(cast(embedding as DOUBLE[]),
+                                                  cast(embedding as DOUBLE[]))) AS nrm
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n,
+                   cast(floor(avg(nrm) * 10000) as bigint) AS avg_norm_e4,
+                   cast(floor(max(nrm) * 10000) as bigint) AS max_norm_e4
+            FROM e GROUP BY label ORDER BY label
+        """,
+    }

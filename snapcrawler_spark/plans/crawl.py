@@ -1,0 +1,289 @@
+"""The crawl plan: Structured-Streaming-style batch waves over a URL
+frontier, with exact reference ordering.
+
+Key architectural idea (SURVEY §3.1 rebuild lifecycle): fetching is
+idempotent and side-effect-free, so the engine fetches *speculatively in
+bulk* — every heavy stage (fetch join, extraction, classification,
+image decode, filter chain) is a distributed DataFrame computation —
+while the *order-sensitive* part of the reference semantics (FIFO queue
+with cascade front-insertion and enqueue-time visited marking,
+crawling_module.py:80-189) is reproduced by a lightweight driver-side
+replay over extracted edge metadata. One wave ≈ one BFS level, so a
+depth-D crawl costs O(D) Spark jobs regardless of page count.
+
+Replay halts at the first URL whose fetch result is unknown; everything
+pending at the halt becomes the next wave's fetch set (bounded per host
+by the politeness budget — per-host budget buckets replace the
+reference's global request_delay sleep, crawling_module.py:180-181).
+
+Scale note (10^10 frontier): the strict replay holds URL metadata on
+the driver, which is the price of bit-exact reference ordering — the
+frontier tables, seen-set bloom partitions and the whole image pipeline
+remain distributed. The `wave` ordering mode (operators/politeness.py)
+drops the replay for a fully relational order key when exact reference
+order is not required.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.operators.extract import (
+    extract_from_html,
+    extract_from_tables,
+)
+from snapcrawler_spark.operators.filters import image_pipeline
+
+
+@dataclass
+class PageRec:
+    kind: str  # 'page' | 'image' | 'missing'
+    status: int | None = None
+    md5: str | None = None
+    images: tuple = ()
+    cascades: tuple = ()
+    links: tuple = ()
+
+
+@dataclass
+class ReplayState:
+    complete: bool = False
+    crawl_order: list = field(default_factory=list)  # (fetch_seq, url, depth)
+    image_items: list = field(default_factory=list)  # (item_seq, url, src, depth)
+    visited: set = field(default_factory=set)
+    robots_blocked: list = field(default_factory=list)
+    wanted: list = field(default_factory=list)  # [(base, depth)] fetch candidates
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        cfg: CrawlConfig,
+        extraction: str = "tables",
+        fetch_cache: dict[str, PageRec] | None = None,
+    ):
+        """``fetch_cache``: optional shared speculative-fetch results.
+        Fetch+extract output depends only on the corpus, the seed hosts
+        and cfg.thumb_min_px — callers running several configs over the
+        same corpus can share one cache (fetching is idempotent)."""
+        self.spark = spark
+        self.t = tables
+        self.cfg = cfg
+        self.extraction = extraction
+        self.seeds = [
+            r.seed_url
+            for r in tables["seeds"].orderBy("seed_idx").collect()
+        ]
+        self.allowed_hosts = sorted({urlparse(s).netloc for s in self.seeds})
+        self.results: dict[str, PageRec] = (
+            fetch_cache if fetch_cache is not None else {}
+        )
+        self.waves = 0
+        self._disallow: dict[str, list[str]] = {}
+        if cfg.extra.get("robots_enabled"):
+            for r in tables["robots"].collect():
+                if r.disallow_prefixes:
+                    self._disallow[r.host] = list(r.disallow_prefixes)
+
+    # ------------------------------------------------------------------
+    # driver-side order replay (metadata only)
+    # ------------------------------------------------------------------
+    def _replay(self) -> ReplayState:
+        cfg = self.cfg
+        st = ReplayState()
+        queue: list[tuple[str, int]] = []
+        visited: set[str] = set()
+        page_hashes: set[str] = set()
+        for s in self.seeds:
+            queue.append((s, 0))
+            visited.add(s)
+        request_count = 0
+        fetch_seq = 0
+        item_seq = 0
+        halted = False
+        while queue and (cfg.max_requests == 0 or request_count < cfg.max_requests):
+            url, depth = queue[0]
+            base = url.split("#", 1)[0]
+            if cfg.max_depth > 0 and depth >= cfg.max_depth:
+                queue.pop(0)
+                continue
+            if self._disallow:
+                p = urlparse(url)
+                if any(
+                    p.path.startswith(pref)
+                    for pref in self._disallow.get(p.netloc, ())
+                ):
+                    queue.pop(0)
+                    st.robots_blocked.append(url)
+                    continue
+            rec = self.results.get(base)
+            if rec is None:
+                halted = True
+                break
+            queue.pop(0)
+
+            images: tuple = ()
+            cascades: tuple = ()
+            links: tuple = ()
+            if rec.kind == "page" and rec.status == 200:
+                if rec.md5 not in page_hashes:
+                    page_hashes.add(rec.md5)
+                    images, cascades, links = rec.images, rec.cascades, rec.links
+            elif rec.kind == "image" and rec.status == 200:
+                page_hashes.add(rec.md5)
+
+            st.crawl_order.append((fetch_seq, url, depth))
+            fetch_seq += 1
+            for iurl in images:
+                st.image_items.append((item_seq, iurl, url, depth))
+                item_seq += 1
+            for c in cascades:
+                if c not in visited:
+                    queue.insert(0, (c, depth))
+                    visited.add(c)
+            for link in links:
+                if link not in visited:
+                    queue.append((link, depth + 1))
+                    visited.add(link)
+            request_count += 1
+
+        st.visited = visited
+        if not halted:
+            st.complete = True
+            return st
+        # fetch candidates: every queued entry with an unknown base that
+        # would actually be processed (depth + robots pre-filters applied)
+        seen_bases: set[str] = set()
+        for u, d in queue:
+            if cfg.max_depth > 0 and d >= cfg.max_depth:
+                continue
+            if self._disallow:
+                p = urlparse(u)
+                if any(
+                    p.path.startswith(pref)
+                    for pref in self._disallow.get(p.netloc, ())
+                ):
+                    continue
+            b = u.split("#", 1)[0]
+            if b not in self.results and b not in seen_bases:
+                seen_bases.add(b)
+                st.wanted.append((b, d))
+        return st
+
+    # ------------------------------------------------------------------
+    # distributed fetch + extraction of one wave
+    # ------------------------------------------------------------------
+    def _fetch_wave(self, wanted: list[tuple[str, int]]) -> None:
+        cfg = self.cfg
+        # politeness: per-host budget buckets in queue order
+        if cfg.host_budget > 0:
+            taken: dict[str, int] = {}
+            batch = []
+            for b, d in wanted:
+                h = urlparse(b).netloc
+                if taken.get(h, 0) < cfg.host_budget:
+                    taken[h] = taken.get(h, 0) + 1
+                    batch.append((b, d))
+        else:
+            batch = list(wanted)
+
+        wave = self.spark.createDataFrame(
+            [(b,) for b, _ in batch], "base string"
+        ).withColumn("url", F.col("base"))
+
+        pages = self.t["pages"]
+        hit = wave.join(pages, wave.base == pages.url, "inner").select(
+            wave.base, pages.status, pages.content_md5, pages.html
+        )
+        ok_pages = hit.where(F.col("status") == 200).select(
+            F.col("base").alias("url"), "html"
+        )
+        if self.extraction == "html":
+            extracted = extract_from_html(ok_pages, cfg, self.allowed_hosts)
+        else:
+            extracted = extract_from_tables(
+                ok_pages.select("url").withColumn("base", F.col("url")),
+                self.t["links"],
+                self.t["page_items"],
+                cfg,
+                self.allowed_hosts,
+            )
+        page_recs = hit.select("base", "status", "content_md5").join(
+            extracted.withColumnRenamed("url", "base"), "base", "left"
+        ).withColumn("kind", F.lit("page"))
+
+        # image URLs crawled as pages: body = image bytes → md5 only
+        img_fetch = self.t["image_fetch"]
+        images_md5 = self.t["images"].select(
+            "image_id", F.md5(F.col("bytes")).alias("bytes_md5")
+        )
+        miss = wave.join(pages, wave.base == pages.url, "left_anti")
+        img_recs = (
+            miss.join(img_fetch, miss.base == img_fetch.image_url, "inner")
+            .join(images_md5, "image_id", "left")
+            .select(
+                "base",
+                img_fetch.status,
+                F.col("bytes_md5").alias("content_md5"),
+                F.lit(None).cast("array<string>").alias("images"),
+                F.lit(None).cast("array<string>").alias("cascade_cands"),
+                F.lit(None).cast("array<string>").alias("link_cands"),
+                F.lit("image").alias("kind"),
+            )
+        )
+
+        got: set[str] = set()
+        for r in page_recs.unionByName(img_recs).collect():
+            got.add(r.base)
+            self.results[r.base] = PageRec(
+                r.kind,
+                int(r.status),
+                r.content_md5,
+                tuple(r.images or ()),
+                tuple(r.cascade_cands or ()),
+                tuple(r.link_cands or ()),
+            )
+        for b, _ in batch:
+            if b not in got:
+                self.results[b] = PageRec("missing")
+        self.waves += 1
+
+    # ------------------------------------------------------------------
+    def run(self) -> dict:
+        """Crawl to completion; returns DataFrames + driver metadata."""
+        while True:
+            st = self._replay()
+            if st.complete:
+                break
+            if not st.wanted:
+                break
+            self._fetch_wave(st.wanted)
+
+        spark = self.spark
+        crawl_order_df = spark.createDataFrame(
+            st.crawl_order or [(0, "", 0)][:0],
+            "fetch_seq long, url string, depth int",
+        )
+        items_df = spark.createDataFrame(
+            st.image_items or [],
+            "item_seq long, image_url string, source_page string, depth int",
+        )
+        accepted, rejections = image_pipeline(
+            items_df, self.t["image_fetch"], self.t["images"], self.cfg
+        )
+        return dict(
+            crawl_order=crawl_order_df,
+            items=items_df,
+            accepted=accepted,
+            rejections=rejections,
+            seen_set=st.visited,
+            robots_blocked=st.robots_blocked,
+            waves=self.waves,
+        )

@@ -1,0 +1,364 @@
+"""Wave-mode crawl: the fully relational scale path.
+
+Where strict mode (plans/crawl.py) replays exact reference FIFO order on
+the driver, wave mode keeps the frontier itself distributed — this is
+the configuration that runs at 10^10-URL scale and the one the bench
+measures (BASELINE.json metric: URLs fetched+deduped per second).
+
+Per wave (one Structured-Streaming-style batch iteration):
+
+1. **select**   politeness window over the pending frontier
+                (operators/politeness.py: per-host budget buckets,
+                priority-before-FIFO, hot-host salting);
+2. **robots**   broadcast join against the per-host robots table;
+                blocked rows → lineage with reason, never fetched;
+3. **fetch**    join against the pages corpus (in production: the HTTP
+                fetch stage partitioned by host);
+4. **dedup-page** first-wins on content MD5 within the wave (window)
+                and across waves (seen-set probe on md5);
+5. **extract**  posexplode of per-page link/cascade arrays; cascades
+                keep their depth and get priority 0 (front-of-queue
+                analog of crawling_module.py:127-145);
+6. **seen**     candidate URLs dedup within wave, then a partitioned
+                bloom probe-and-insert (operators/seen.py) — the
+                north-rule anti-join;
+7. **enqueue**  survivors become next-wave frontier rows with
+                deterministic enq_seq = (wave, pid, rank-in-pid) packed
+                into one BIGINT — no global sort, no
+                monotonically_increasing_id (partition-dependent);
+8. **images**   item rows accumulate; the filter chain + cross-wave
+                phash first-wins run per wave, appending accepted/
+                rejected with lineage counters;
+9. **commit**   frontier/seen/metrics/accepted snapshots via the
+                catalog; the wave cursor makes the crawl resumable
+                (kill-and-resume ≡ uninterrupted, tested).
+
+Ordering contract: wave mode preserves the reference's *set* semantics
+(same final URL-seen set, same accepted multiset under dedup-off; same
+per-phash first row under wave-major order) but relaxes exact global
+FIFO to wave-major deterministic order — strict mode exists for the
+bit-exact ordering gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snapcrawler_spark.catalog import SnapshotCatalog
+from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.operators.extract import (
+    extract_from_tables,
+    host_col,
+)
+from snapcrawler_spark.operators.filters import image_pipeline
+from snapcrawler_spark.operators.politeness import select_wave
+from snapcrawler_spark.operators.seen import BloomSeenSet, ExactSeenSet
+
+_SEQ_WAVE_SHIFT = 44
+_SEQ_PID_SHIFT = 28
+
+
+@dataclass
+class WaveMetrics:
+    wave: int
+    selected: int
+    fetched_ok: int
+    robots_blocked: int
+    dup_pages: int
+    candidates: int
+    deduped_new: int
+    items: int
+
+
+class WaveCrawl:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        cfg: CrawlConfig,
+        catalog: SnapshotCatalog | None = None,
+        seen_kind: str = "bloom",
+    ):
+        self.spark = spark
+        self.t = tables
+        self.cfg = cfg
+        self.catalog = catalog
+        if seen_kind == "bloom":
+            self.seen = BloomSeenSet(
+                spark,
+                partitions=cfg.seen_partitions,
+                m_bits=1 << 17,
+                n_hashes=5,
+            )
+            self.md5_seen = BloomSeenSet(spark, partitions=16, m_bits=1 << 17)
+        else:
+            self.seen = ExactSeenSet(spark)
+            self.md5_seen = ExactSeenSet(spark)
+        seeds = tables["seeds"].orderBy("seed_idx").collect()
+        self.seed_urls = [r.seed_url for r in seeds]
+        from urllib.parse import urlparse
+
+        self.allowed_hosts = sorted({urlparse(s).netloc for s in self.seed_urls})
+        self.metrics: list[WaveMetrics] = []
+        self.items_parts: list[DataFrame] = []
+        self.total_fetched = 0
+        self.wave = 0
+        self._restored_frontier: DataFrame | None = None
+
+    def restore(self) -> None:
+        """Resume from the last committed wave: frontier + seen-set bloom
+        bitmaps + exact audit table + cumulative counters (north rule:
+        resumable from checkpoint with per-partition lineage)."""
+        assert self.catalog is not None, "restore() needs a catalog"
+        committed = self.catalog.committed_wave()
+        if committed is None:
+            return
+        import json
+        import os
+
+        self._restored_frontier = self.catalog.table("frontier").read()
+        self.seen.restore(self.catalog, "seen")
+        self.md5_seen.restore(self.catalog, "md5_seen")
+        with open(os.path.join(self.catalog.root, "wave_cursor.json")) as f:
+            meta = json.load(f)
+        self.total_fetched = meta.get("total_fetched", 0)
+        self.wave = committed + 1
+
+    def _seed_frontier(self) -> DataFrame:
+        rows = [
+            (u, i) for i, u in enumerate(self.seed_urls)
+        ]
+        df = self.spark.createDataFrame(rows, "url string, enq_seq long")
+        return df.select(
+            "url",
+            host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(1).alias("priority"),
+            "enq_seq",
+            F.lit(0).alias("wave"),
+        )
+
+    def _pack_seq(self, df: DataFrame, wave: int) -> DataFrame:
+        """Deterministic enq_seq without a global sort: wave-major, then
+        hash-partition id, then rank within the partition ordered by the
+        parent's enqueue position."""
+        pid = F.pmod(F.xxhash64("url"), F.lit(self.cfg.seen_partitions))
+        w = Window.partitionBy(pid).orderBy("parent_seq", "link_idx", "url")
+        return df.withColumn(
+            "enq_seq",
+            F.lit((wave + 1) << _SEQ_WAVE_SHIFT).cast("long")
+            + F.shiftleft(pid, _SEQ_PID_SHIFT)
+            + F.row_number().over(w),
+        )
+
+    def run(self, max_waves: int = 64) -> dict:
+        cfg = self.cfg
+        spark = self.spark
+        pages = self.t["pages"]
+        robots = self.t["robots"]
+
+        if self._restored_frontier is not None:
+            frontier = self._restored_frontier
+        else:
+            frontier = self._seed_frontier()
+            self.seen.probe_and_insert(frontier.select("url"))
+
+        end_wave = self.wave + max_waves
+        while self.wave < end_wave:
+            pending_n = frontier.count()
+            if pending_n == 0:
+                break
+            if cfg.max_requests > 0 and self.total_fetched >= cfg.max_requests:
+                break
+
+            selected = select_wave(
+                frontier,
+                default_budget=cfg.host_budget if cfg.host_budget > 0 else 1 << 30,
+                hot_threshold=cfg.extra.get("hot_threshold", 0),
+                salt_buckets=cfg.hot_host_salt,
+            ).persist()
+            rest = frontier.join(selected.select("url"), "url", "left_anti")
+
+            # robots gate (engine capability; reference analog: scrapy
+            # ROBOTSTXT_OBEY, settings.py:34)
+            if cfg.extra.get("robots_enabled"):
+                r = robots.select(
+                    "host", F.explode("disallow_prefixes").alias("pref")
+                )
+                blocked = (
+                    selected.join(F.broadcast(r), "host")
+                    .where(
+                        F.expr(
+                            "startswith(parse_url(url, 'PATH'), pref)"
+                        )
+                    )
+                    .select("url")
+                    .distinct()
+                )
+                fetchable = selected.join(blocked, "url", "left_anti")
+                n_blocked = blocked.count()
+            else:
+                fetchable = selected
+                n_blocked = 0
+
+            if cfg.max_depth > 0:
+                fetchable = fetchable.where(F.col("depth") < cfg.max_depth)
+
+            # fetch: base URL (fragment stripped) against the pages corpus
+            fetchable = fetchable.withColumn(
+                "base", F.substring_index("url", "#", 1)
+            ).persist()
+            n_selected = fetchable.count()
+            hit = fetchable.join(
+                pages.select(
+                    F.col("url").alias("base"), "status", "content_md5"
+                ),
+                "base",
+                "left",
+            )
+            ok = hit.where(F.col("status") == 200)
+
+            # MD5 page dedup: within-wave first-wins + cross-wave probe
+            w_md5 = Window.partitionBy("content_md5").orderBy(
+                "priority", "enq_seq"
+            )
+            ok = ok.withColumn("md5_rank", F.row_number().over(w_md5))
+            firsts = ok.where(F.col("md5_rank") == 1)
+            probed = self.md5_seen.probe_and_insert(
+                firsts.select(F.col("content_md5").alias("url"))
+            ).withColumnRenamed("url", "content_md5")
+            fresh = firsts.join(
+                probed.where("was_new").select("content_md5"), "content_md5"
+            )
+            n_fresh = fresh.count()
+            n_ok = ok.count()
+
+            # extraction over fresh pages only
+            extracted = extract_from_tables(
+                fresh.select(F.col("url"), F.col("base")),
+                self.t["links"],
+                self.t["page_items"],
+                cfg,
+                self.allowed_hosts,
+            ).join(
+                fresh.select("url", "depth", "enq_seq", "priority"), "url"
+            )
+
+            items = extracted.select(
+                F.col("enq_seq").alias("parent_seq"),
+                F.col("url").alias("source_page"),
+                "depth",
+                F.posexplode("images").alias("img_idx", "image_url"),
+            )
+            self.items_parts.append(items.persist())
+            n_items = items.count()
+
+            link_cand = extracted.select(
+                F.col("enq_seq").alias("parent_seq"),
+                F.col("depth").alias("parent_depth"),
+                F.posexplode("link_cands").alias("link_idx", "url"),
+            ).select(
+                "url",
+                (F.col("parent_depth") + 1).alias("depth"),
+                F.lit(1).alias("priority"),
+                "parent_seq",
+                "link_idx",
+            )
+            casc_cand = extracted.select(
+                F.col("enq_seq").alias("parent_seq"),
+                F.col("depth"),
+                F.posexplode("cascade_cands").alias("ci", "url"),
+            ).select(
+                "url",
+                "depth",
+                F.lit(0).alias("priority"),
+                "parent_seq",
+                (-F.col("ci")).alias("link_idx"),  # cascade reversal analog
+            )
+            cands = casc_cand.unionByName(link_cand)
+            # within-wave dedup: first enqueuer wins
+            w_cand = Window.partitionBy("url").orderBy(
+                "priority", "parent_seq", "link_idx"
+            )
+            cands = cands.withColumn(
+                "cand_rank", F.row_number().over(w_cand)
+            ).where(F.col("cand_rank") == 1).drop("cand_rank")
+            n_cands = cands.count()
+
+            probed = self.seen.probe_and_insert(cands)
+            new_rows = probed.where("was_new").drop("was_new")
+            new_frontier = self._pack_seq(new_rows, self.wave).select(
+                "url",
+                host_col(F.col("url")).alias("host"),
+                "depth",
+                "priority",
+                "enq_seq",
+                F.lit(self.wave + 1).alias("wave"),
+            )
+
+            frontier = rest.unionByName(new_frontier).persist()
+            n_new = new_frontier.count()
+            self.total_fetched += n_selected
+            self.metrics.append(
+                WaveMetrics(
+                    self.wave, n_selected, n_ok, n_blocked,
+                    n_ok - n_fresh, n_cands, n_new, n_items,
+                )
+            )
+
+            if self.catalog is not None:
+                self.catalog.table("frontier").overwrite(
+                    frontier, wave=self.wave
+                )
+                self.seen.snapshot(self.catalog, "seen")
+                if hasattr(self.md5_seen, "snapshot"):
+                    self.md5_seen.snapshot(self.catalog, "md5_seen")
+                items_w = items.withColumn("wave", F.lit(self.wave))
+                self.catalog.table("items").append(
+                    items_w,
+                    counters=dict(
+                        fetched=n_selected,
+                        deduped=n_cands - n_new,
+                        robots_blocked=n_blocked,
+                        items=n_items,
+                    ),
+                    wave=self.wave,
+                )
+                self.catalog.commit_wave(
+                    self.wave, {"total_fetched": self.total_fetched}
+                )
+            selected.unpersist()
+            self.wave += 1
+
+        # ---- image phase over all items (deterministic wave-major order)
+        if self.items_parts:
+            all_items = self.items_parts[0]
+            for p in self.items_parts[1:]:
+                all_items = all_items.unionByName(p)
+        else:
+            all_items = spark.createDataFrame(
+                [], "parent_seq long, source_page string, depth int, "
+                "img_idx int, image_url string"
+            )
+        w_item = Window.orderBy("parent_seq", "image_url")
+        items_seq = all_items.dropDuplicates(
+            ["parent_seq", "image_url"]
+        ).withColumn("item_seq", F.row_number().over(w_item)).select(
+            "item_seq", "image_url", "source_page", "depth"
+        )
+        accepted, rejections = image_pipeline(
+            items_seq, self.t["image_fetch"], self.t["images"], cfg
+        )
+        return dict(
+            frontier=frontier,
+            accepted=accepted,
+            rejections=rejections,
+            items=items_seq,
+            metrics=self.metrics,
+            seen=self.seen,
+            waves=self.wave,
+            total_fetched=self.total_fetched,
+        )

@@ -1,0 +1,110 @@
+"""Engine ≡ oracle equivalence — the correctness gate of BASELINE.json:
+identical crawl ordering, URL-seen set, accepted images and rejection
+reasons under the same seed list and politeness budget, across config
+variations (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.io import fixture_to_spark
+from snapcrawler_spark.oracle import crawl_oracle
+from snapcrawler_spark.plans import CrawlEngine
+
+
+def _cfg(web, **kw):
+    base = dict(
+        seeds=tuple(web["seeds"].seed_url),
+        min_side_size=64,
+        formats=("jpg", "jpeg", "png", "webp", "bmp"),
+        deduplication=True,
+        host_budget=0,  # unlimited unless a case exercises politeness
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+_FETCH_CACHE: dict = {}
+_TABLES_CACHE: dict = {}
+
+
+def _run_engine(spark, web, cfg, extraction="tables"):
+    key = id(web)
+    if key not in _TABLES_CACHE:
+        _TABLES_CACHE[key] = fixture_to_spark(spark, web)
+    cache = _FETCH_CACHE.setdefault((key, cfg.thumb_min_px, extraction), {})
+    eng = CrawlEngine(
+        spark, _TABLES_CACHE[key], cfg, extraction=extraction, fetch_cache=cache
+    )
+    return eng.run()
+
+
+def _assert_equivalent(run, oracle):
+    got_order = [
+        (r.fetch_seq, r.url, r.depth)
+        for r in run["crawl_order"].orderBy("fetch_seq").collect()
+    ]
+    assert got_order == oracle.crawl_order, (
+        f"crawl order diverges at "
+        f"{next((i, a, b) for i, (a, b) in enumerate(zip(got_order, oracle.crawl_order)) if a != b)}"
+    )
+    assert run["seen_set"] == oracle.seen_set
+    got_items = [
+        (r.item_seq, r.image_url, r.source_page, r.depth)
+        for r in run["items"].orderBy("item_seq").collect()
+    ]
+    assert got_items == oracle.image_items
+    got_acc = [
+        (r.item_seq, r.image_url, r.image_id, r.phash)
+        for r in run["accepted"].orderBy("item_seq").collect()
+    ]
+    assert got_acc == oracle.accepted
+    got_rej = sorted(
+        (r.item_seq, r.image_url, r.reason) for r in run["rejections"].collect()
+    )
+    assert got_rej == sorted(oracle.rejections)
+
+
+CONFIG_MATRIX = [
+    dict(),
+    dict(deduplication=False),
+    dict(max_depth=2),
+    dict(max_requests=15),
+    dict(min_side_size=0, aspect_ratio_min=0.0, aspect_ratio_max=0.0),
+    dict(orientation="landscape", color_mode="color", min_dpi=90),
+    dict(max_images=4),
+    dict(host_budget=3),
+    dict(extra={"robots_enabled": True}),
+]
+
+
+@pytest.mark.parametrize("overrides", CONFIG_MATRIX)
+def test_engine_matches_oracle_xs(spark, web_xs, overrides):
+    cfg = _cfg(web_xs, **overrides)
+    _assert_equivalent(_run_engine(spark, web_xs, cfg), crawl_oracle(web_xs, cfg))
+
+
+def test_engine_matches_oracle_s(spark, web_s):
+    cfg = _cfg(web_s)
+    _assert_equivalent(_run_engine(spark, web_s, cfg), crawl_oracle(web_s, cfg))
+
+
+def test_html_extraction_backend_equivalent(spark, web_xs):
+    cfg = _cfg(web_xs)
+    _assert_equivalent(
+        _run_engine(spark, web_xs, cfg, extraction="html"),
+        crawl_oracle(web_xs, cfg),
+    )
+
+
+def test_wave_count_scales_with_depth_not_pages(spark, web_s):
+    """Speculative batching: number of Spark waves ≈ BFS depth, not page
+    count — the property that makes strict ordering distributable."""
+    cfg = _cfg(web_s)
+    tables = fixture_to_spark(spark, web_s)
+    eng = CrawlEngine(spark, tables, cfg)
+    run = eng.run()
+    n_pages = run["crawl_order"].count()
+    assert n_pages > 100
+    assert run["waves"] <= 16, f"{run['waves']} waves for {n_pages} pages"

@@ -1,0 +1,133 @@
+"""Partitioned bloom seen-set ≡ exact anti-join; politeness windows;
+adaptive budgets; hot-host salting (north-rule machinery)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapcrawler_spark.operators.politeness import adapt_budgets, select_wave
+from snapcrawler_spark.operators.seen import BloomSeenSet, ExactSeenSet
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7), F.lit(".test/p/"), "id").alias(
+            "url"
+        )
+    )
+
+
+class TestSeenSet:
+    def test_bloom_matches_exact_over_batches(self, spark):
+        bloom = BloomSeenSet(spark, partitions=8, m_bits=1 << 14, n_hashes=5)
+        exact = ExactSeenSet(spark)
+        batches = [
+            _urls(spark, 0, 300),
+            _urls(spark, 200, 500),   # 100 overlap
+            _urls(spark, 0, 100),     # all dup
+            _urls(spark, 450, 700),
+        ]
+        for b in batches:
+            got_b = {
+                r.url: r.was_new for r in bloom.probe_and_insert(b).collect()
+            }
+            got_e = {
+                r.url: r.was_new for r in exact.probe_and_insert(b).collect()
+            }
+            assert got_b == got_e
+
+    def test_bloom_exact_table_tracks_all_urls(self, spark):
+        bloom = BloomSeenSet(spark, partitions=4, m_bits=1 << 13)
+        bloom.probe_and_insert(_urls(spark, 0, 250))
+        assert bloom.exact.count() == 250
+        total_keys = (
+            bloom.state.agg(F.sum("n_keys")).collect()[0][0]
+        )
+        assert total_keys == 250
+
+    def test_duplicates_within_batch_counted_once(self, spark):
+        bloom = BloomSeenSet(spark, partitions=4, m_bits=1 << 13)
+        dup = _urls(spark, 0, 50).unionAll(_urls(spark, 0, 50))
+        out = bloom.probe_and_insert(dup)
+        assert out.where("was_new").count() == 100  # both occurrence rows flagged
+        assert bloom.exact.count() == 50
+
+    def test_snapshot_restore_roundtrip(self, spark, tmp_path):
+        from snapcrawler_spark.catalog import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        b1 = BloomSeenSet(spark, partitions=4, m_bits=1 << 13)
+        b1.probe_and_insert(_urls(spark, 0, 200))
+        b1.snapshot(cat, "seen")
+        b2 = BloomSeenSet(spark, partitions=4, m_bits=1 << 13)
+        b2.restore(cat, "seen")
+        out = b2.probe_and_insert(_urls(spark, 100, 300))
+        news = {r.url for r in out.where("was_new").collect()}
+        assert len(news) == 100
+        assert all(int(u.rsplit("/", 1)[1]) >= 200 for u in news)
+
+
+class TestPoliteness:
+    def _frontier(self, spark, per_host, hosts=4):
+        rows = [
+            (f"https://h{h}.test/p/{i}", f"h{h}.test", 1, 1, h * 10000 + i)
+            for h in range(hosts)
+            for i in range(per_host)
+        ]
+        return spark.createDataFrame(
+            rows, "url string, host string, depth int, priority int, enq_seq long"
+        )
+
+    def test_budget_limits_per_host(self, spark):
+        f = self._frontier(spark, 20)
+        sel = select_wave(f, default_budget=5)
+        counts = {r.host: r.n for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        assert all(n == 5 for n in counts.values())
+
+    def test_selection_order_priority_then_fifo(self, spark):
+        rows = [
+            ("u1", "h.test", 1, 1, 100),
+            ("u2", "h.test", 1, 0, 999),  # priority 0 beats lower enq_seq
+            ("u3", "h.test", 1, 1, 50),
+        ]
+        f = spark.createDataFrame(
+            rows, "url string, host string, depth int, priority int, enq_seq long"
+        )
+        sel = select_wave(f, default_budget=2)
+        got = {r.url for r in sel.collect()}
+        assert got == {"u2", "u3"}
+
+    def test_hot_host_salting_spreads_budget(self, spark):
+        f = self._frontier(spark, 100, hosts=2)
+        sel = select_wave(
+            f, default_budget=8, hot_threshold=50, salt_buckets=4
+        )
+        counts = {r.host: r.n for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        # 4 salts × ceil(8/4)=2 → exactly 8 per hot host, just spread
+        assert all(n == 8 for n in counts.values())
+
+    def test_per_host_budget_table(self, spark):
+        f = self._frontier(spark, 20)
+        budgets = spark.createDataFrame(
+            [("h0.test", 1), ("h1.test", 10)], "host string, budget int"
+        )
+        sel = select_wave(f, budgets=budgets, default_budget=3)
+        counts = {r.host: r.n for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        assert counts["h0.test"] == 1
+        assert counts["h1.test"] == 10
+        assert counts["h2.test"] == 3
+
+    def test_adaptive_budget_recurrence(self, spark):
+        budgets = spark.createDataFrame(
+            [("a", 8), ("b", 8), ("c", 8)], "host string, budget int"
+        )
+        status = spark.createDataFrame(
+            [("a", 10, 0), ("b", 3, 2), ("d", 5, 0)],
+            "host string, n_ok int, n_err int",
+        )
+        out = {r.host: r.budget for r in adapt_budgets(budgets, status, base=8).collect()}
+        assert out["a"] == 9          # success → ×1/0.9 rounded up
+        assert out["b"] == 4          # errors → ÷2
+        assert out["c"] == 8          # no traffic → unchanged
+        assert out["d"] == 9          # new host from base
