@@ -319,6 +319,47 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
+def q_rollup_counts(spark, sf_dir):
+    """Hierarchical lineage rollup (wave→host→total metrics shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Per-(host,status) tally pivoted to columns (stats-matrix shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_except_set(spark, sf_dir):
+    """EXCEPT ALL → distinct shape: users whose click count exceeds
+    their purchase count (multiset difference, then distinct)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+    return a.exceptAll(b).distinct()
+
+
+def q_intersect_set(spark, sf_dir):
+    """INTERSECT shape: users both clicking and purchasing."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 # ---------------------------------------------------------------------------
@@ -345,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_kernels": q_string_kernels,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
+        "rollup_counts": q_rollup_counts,
+        "pivot_status": q_pivot_status,
+        "except_set": q_except_set,
+        "intersect_set": q_intersect_set,
         # training-data pipeline (documents / embeddings)
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
@@ -514,6 +559,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(round(value * 100) as bigint)) AS value_cents
             FROM events GROUP BY 1, 2
         """,
+        "rollup_counts": """
+            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "except_set": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "intersect_set": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
         # ---- training-data pipeline -------------------------------------
         "text_token_count": """
             SELECT doc_id,
@@ -593,10 +660,14 @@ def oracle_sql() -> dict[str, str]:
             ), sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
               FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ), keyed AS (
+              SELECT doc_id,
+                     {_H60.format(x="shingle")} AS h1,
+                     {_H60.format(x="shingle || '#2'")} % 1099511627776 AS h2
+              FROM sh
             ), hs AS (
-              SELECT doc_id, h, shingle,
-                     {_H60.format(x="h::VARCHAR || '|' || shingle")} AS hv
-              FROM sh, unnest(range(0, {nm})) AS uh(h)
+              SELECT doc_id, h, h1 + h * h2 AS hv
+              FROM keyed, unnest(range(0, {nm})) AS uh(h)
             ), sig AS (
               SELECT doc_id, h, min(hv) AS minhash FROM hs GROUP BY doc_id, h
             ), bands AS (

@@ -88,7 +88,7 @@ def crawl_throughput(spark, web_root: str) -> dict:
         seen_partitions=64,
     )
     t0 = time.time()
-    wc = WaveCrawl(spark, tables, cfg, seen_kind="bloom")
+    wc = WaveCrawl(spark, tables, cfg, seen_kind="bloom", collect_metrics=False)
     run = wc.run(max_waves=64)
     n_accepted = run["accepted"].count()  # forces the image pipeline too
     secs = time.time() - t0

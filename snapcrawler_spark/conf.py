@@ -33,6 +33,7 @@ class CrawlConfig:
 
     # limits (config.yaml:221-224)
     max_images: int = 0           # 0 = unlimited
+    max_folder_bytes: int = 0     # 0 = unlimited (max_folder_size_mb analog)
 
     # engine-only scale knobs (no reference analog; SURVEY §7)
     host_budget: int = 64         # max fetches per host per wave (wave mode)

@@ -180,7 +180,9 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                 iid = image_ids[int(rng.integers(0, len(image_ids)))]
                 iurl = _mk_image_url(rng, host, iid, image_fmt[iid])
                 ch = ["img_src", "img_datasrc", "file_url", "css_inline",
-                      "css_style", "parent_a"][int(rng.integers(0, 6))]
+                      "css_style", "parent_a", "srcset", "ajax"][
+                    int(rng.integers(0, 8))
+                ]
                 if iurl not in fetch_map:
                     fr = rng.random()
                     st = 404 if fr < 0.03 else 200
@@ -208,6 +210,27 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                     html_parts.append(
                         f'<a href="{href_target}"><img src="{inner}"/></a>'
                     )
+                elif ch == "srcset":
+                    # <picture>/srcset channel (image_spider.py:654-669):
+                    # two density variants, both extracted in doc order
+                    iurl2 = _mk_image_url(rng, host, iid, image_fmt[iid])
+                    if iurl2 not in fetch_map:
+                        fetch_map[iurl2] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    item_rows.append((url, item_idx, "srcset", iurl))
+                    item_idx += 1
+                    item_rows.append((url, item_idx, "srcset", iurl2))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<img srcset="{iurl} 1x, {iurl2} 2x"/>'
+                    )
+                elif ch == "ajax":
+                    # embedded JSON blob (middlewares.py:160-257 ajax walk)
+                    item_rows.append((url, item_idx, "ajax", iurl))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<script>var d = {{"items": {{"image": "{iurl}"}}, '
+                        f'"n": {item_idx}}};</script>'
+                    )
                 else:
                     item_rows.append((url, item_idx, ch, iurl))
                     item_idx += 1
@@ -225,10 +248,17 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                         html_parts.append(
                             f'<style>.c{item_idx}{{background:url("{iurl}")}}</style>'
                         )
-            html_parts.append("</body></html>")
-            html = "".join(html_parts)
-            page_rows.append((url, host, status, html if with_html else None,
-                              _md5(html)))
+            if with_html:
+                html_parts.append("</body></html>")
+                html = "".join(html_parts)
+                content_md5 = _md5(html)
+            else:
+                # html column is dropped at this scale (table-backend
+                # extraction); content identity only needs uniqueness +
+                # twin-copy semantics, so skip building 147k HTML strings
+                html = None
+                content_md5 = _md5("page:" + url)
+            page_rows.append((url, host, status, html, content_md5))
 
     pages = pd.DataFrame(
         page_rows, columns=["url", "host", "status", "html", "content_md5"]
@@ -239,23 +269,48 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
     dup_idx = rng.choice(n_pages, size=max(1, n_pages // 20), replace=False)
     links = pd.DataFrame(link_rows, columns=["src_url", "link_idx", "href_raw", "dst_url"])
     items = pd.DataFrame(item_rows, columns=["src_url", "item_idx", "channel", "url"])
-    for di in sorted(int(x) for x in dup_idx):
-        if di == 0:
+    # twin must share the host: hrefs are root-relative, so same-host
+    # twins resolve to identical absolute links — MD5-dedup winners are
+    # then interchangeable (wave order may pick a different winner than
+    # strict FIFO; extraction must not depend on it). Twins are never
+    # dups themselves (no chains), which keeps this single-pass.
+    dup_set = {int(x) for x in dup_idx if int(x) != 0}
+    host_earlier: dict[str, list[int]] = {}
+    by_host_rows: dict[str, list[int]] = {}
+    for j, h in enumerate(pages["host"]):
+        by_host_rows.setdefault(h, []).append(j)
+    dup_pairs: list[tuple[int, int]] = []
+    for di in sorted(dup_set):
+        cands = [j for j in by_host_rows[pages.at[di, "host"]]
+                 if j < di and j not in dup_set]
+        if not cands:
             continue
-        twin = int(rng.integers(0, di))
-        di_url, twin_url = pages.at[di, "url"], pages.at[twin, "url"]
-        pages.at[di, "html"] = pages.at[twin, "html"]
-        pages.at[di, "content_md5"] = pages.at[twin, "content_md5"]
-        links = links[links.src_url != di_url]
-        items = items[items.src_url != di_url]
-        tl = links[links.src_url == twin_url].copy()
-        tl["src_url"] = di_url
-        # twin's relative hrefs resolve against the *duplicate's* URL
-        tl["dst_url"] = [urljoin(di_url, h) for h in tl["href_raw"]]
-        ti = items[items.src_url == twin_url].copy()
-        ti["src_url"] = di_url
-        links = pd.concat([links, tl], ignore_index=True)
-        items = pd.concat([items, ti], ignore_index=True)
+        twin = cands[int(rng.integers(0, len(cands)))]
+        dup_pairs.append((di, twin))
+    if dup_pairs:
+        drop_urls = {pages.at[di, "url"] for di, _ in dup_pairs}
+        links = links[~links.src_url.isin(drop_urls)]
+        items = items[~items.src_url.isin(drop_urls)]
+        lk_by = {k: v for k, v in links.groupby("src_url")}
+        it_by = {k: v for k, v in items.groupby("src_url")}
+        new_l, new_i = [], []
+        for di, twin in dup_pairs:
+            di_url, twin_url = pages.at[di, "url"], pages.at[twin, "url"]
+            pages.at[di, "html"] = pages.at[twin, "html"]
+            pages.at[di, "content_md5"] = pages.at[twin, "content_md5"]
+            tl = lk_by.get(twin_url)
+            if tl is not None:
+                tl = tl.copy()
+                tl["src_url"] = di_url
+                tl["dst_url"] = [urljoin(di_url, h) for h in tl["href_raw"]]
+                new_l.append(tl)
+            ti = it_by.get(twin_url)
+            if ti is not None:
+                ti = ti.copy()
+                ti["src_url"] = di_url
+                new_i.append(ti)
+        links = pd.concat([links] + new_l, ignore_index=True)
+        items = pd.concat([items] + new_i, ignore_index=True)
 
     image_fetch = pd.DataFrame(
         [(u, i, s, c) for u, (i, s, c) in fetch_map.items()],
@@ -273,8 +328,29 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
         [(f"https://{h}/", i) for i, h in enumerate(hosts)],
         columns=["seed_url", "seed_idx"],
     )
+    # sitemap XML bodies for hosts that advertise one (sitemap feeder,
+    # navigation_module.py:147-225): lists a sample of the host's pages
+    sm_rows = []
+    for k, h in enumerate(hosts):
+        if k % 4 != 0:
+            continue
+        srng = np.random.Generator(np.random.PCG64(seed * 911 + k))
+        pages_h = host_pages[h]
+        picks = sorted(
+            {int(x) for x in srng.integers(0, len(pages_h), size=min(10, len(pages_h)))}
+        )
+        entries = "".join(
+            f"<url><loc>{pages_h[j]}</loc><priority>0.{5 + j % 5}</priority>"
+            f"<changefreq>daily</changefreq></url>"
+            for j in picks
+        )
+        sm_rows.append(
+            (f"https://{h}/sitemap.xml", h,
+             f'<?xml version="1.0"?><urlset>{entries}</urlset>')
+        )
+    sitemaps = pd.DataFrame(sm_rows, columns=["sitemap_url", "host", "xml"])
     links = links.sort_values(["src_url", "link_idx"]).reset_index(drop=True)
     items = items.sort_values(["src_url", "item_idx"]).reset_index(drop=True)
     return dict(pages=pages, links=links, page_items=items,
                 image_fetch=image_fetch, robots=robots, seeds=seeds_df,
-                images=images_df)
+                sitemaps=sitemaps, images=images_df)

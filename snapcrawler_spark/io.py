@@ -65,6 +65,13 @@ SCHEMAS = {
             T.StructField("seed_idx", T.IntegerType(), False),
         ]
     ),
+    "sitemaps": T.StructType(
+        [
+            T.StructField("sitemap_url", T.StringType(), False),
+            T.StructField("host", T.StringType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    ),
 }
 
 
@@ -83,7 +90,13 @@ def write_fixture_parquet(web: dict, root: str) -> None:
     os.makedirs(root, exist_ok=True)
     for name in list(SCHEMAS) + ["images_pixels"]:
         if name in web:
-            web[name].to_parquet(f"{root}/{name}.parquet", index=False)
+            pdf = web[name].copy()
+            schema = SCHEMAS.get(name)
+            if schema is not None:
+                for f in schema.fields:
+                    if isinstance(f.dataType, T.IntegerType):
+                        pdf[f.name] = pdf[f.name].astype("int32")
+            pdf.to_parquet(f"{root}/{name}.parquet", index=False)
 
 
 def read_fixture_parquet(spark: SparkSession, root: str) -> dict[str, DataFrame]:

@@ -1,0 +1,108 @@
+"""Optional image-analysis kernels (feature-flagged, off by default in
+the crawl config, mirroring config.yaml:31 ai_optimization.enabled).
+
+- ``ai_tags_cols``: resolution/orientation/colorness buckets — pure
+  column expressions, not even a UDF (advanced_formats.py:342-374).
+- ``content_type_udf``: rule tree over edge density / color diversity /
+  aspect (advanced_formats.py:305-340), Sobel edges replacing Canny.
+- ``dominant_colors_udf``: downsample + top-5 colors as hex
+  (advanced_formats.py:254-287).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snapcrawler_spark.kernels.codecs import decode_image
+from snapcrawler_spark.kernels.phash import to_gray
+
+
+def ai_tags_cols(w: Column, h: Column, mode: Column) -> Column:
+    """ARRAY<STRING> of bucket tags from already-decoded metadata."""
+    res_tag = (
+        F.when((w >= 1920) | (h >= 1920), F.lit("high_resolution"))
+        .when((w >= 640) | (h >= 640), F.lit("medium_resolution"))
+        .otherwise(F.lit("low_resolution"))
+    )
+    orient_tag = (
+        F.when(w > h, F.lit("landscape"))
+        .when(h > w, F.lit("portrait"))
+        .otherwise(F.lit("square"))
+    )
+    color_tag = F.when(mode == "L", F.lit("grayscale")).otherwise(F.lit("color"))
+    return F.array(res_tag, orient_tag, color_tag)
+
+
+def _sobel_edge_density(gray: np.ndarray) -> float:
+    if gray.shape[0] < 3 or gray.shape[1] < 3:
+        return 0.0
+    gx = (
+        gray[:-2, 2:] + 2 * gray[1:-1, 2:] + gray[2:, 2:]
+        - gray[:-2, :-2] - 2 * gray[1:-1, :-2] - gray[2:, :-2]
+    )
+    gy = (
+        gray[2:, :-2] + 2 * gray[2:, 1:-1] + gray[2:, 2:]
+        - gray[:-2, :-2] - 2 * gray[:-2, 1:-1] - gray[:-2, 2:]
+    )
+    mag = np.hypot(gx, gy)
+    return float((mag > 128.0).mean())
+
+
+def classify_content(px: np.ndarray) -> str:
+    """{text, banner, icon, logo, photo, illustration} rule tree."""
+    h, w = px.shape[:2]
+    gray = to_gray(px) / 1000.0
+    edges = _sobel_edge_density(gray)
+    if px.ndim == 3:
+        sample = px[:: max(1, h // 50), :: max(1, w // 50)]
+        diversity = len(np.unique(sample.reshape(-1, 3), axis=0)) / max(
+            sample.shape[0] * sample.shape[1], 1
+        )
+    else:
+        diversity = 0.0
+    aspect = w / h if h else 1.0
+    if aspect > 4 or aspect < 0.25:
+        return "banner"
+    if max(w, h) <= 64:
+        return "icon"
+    if edges > 0.25 and diversity < 0.1:
+        return "text"
+    if diversity < 0.05:
+        return "logo"
+    if diversity > 0.5:
+        return "photo"
+    return "illustration"
+
+
+@F.pandas_udf(T.StringType())
+def content_type_udf(data: pd.Series) -> pd.Series:
+    out = []
+    for b in data:
+        try:
+            px, _, _ = decode_image(bytes(b))
+            out.append(classify_content(px))
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def dominant_colors_udf(data: pd.Series) -> pd.Series:
+    out = []
+    for b in data:
+        try:
+            px, _, _ = decode_image(bytes(b))
+            if px.ndim == 2:
+                px = np.stack([px] * 3, -1)
+            h, w = px.shape[:2]
+            sample = px[:: max(1, h // 100), :: max(1, w // 100)].reshape(-1, 3)
+            colors, counts = np.unique(sample, axis=0, return_counts=True)
+            top = colors[np.argsort(-counts)[:5]]
+            out.append([f"#{r:02x}{g:02x}{b_:02x}" for r, g, b_ in top])
+        except Exception:
+            out.append(None)
+    return pd.Series(out)

@@ -201,6 +201,15 @@ def extract_from_html(
     JVM-side (regexp_extract_all); only urljoin is a pandas UDF.
     """
     h = F.col("html")
+    # srcset values → flatten "u1 1x, u2 2x" lists (image_spider.py:654-669)
+    srcset_urls = F.flatten(
+        F.transform(
+            F.regexp_extract_all(h, F.lit(r'<img srcset="([^"]+)"'), 1),
+            lambda s: F.transform(
+                F.split(s, ","), lambda p: F.element_at(F.split(F.trim(p), " "), 1)
+            ),
+        )
+    )
     raw = wave_pages.select(
         "url",
         F.regexp_extract_all(h, F.lit(r'<img src="([^"]+)"'), 1).alias("c_src"),
@@ -209,15 +218,22 @@ def extract_from_html(
         F.regexp_extract_all(
             h, F.lit(r"""url\(["']?([^"')]+)["']?\)"""), 1
         ).alias("c_css"),
+        srcset_urls.alias("c_srcset"),
+        # embedded-JSON image keys (ajax walk, middlewares.py:230-248)
+        F.regexp_extract_all(
+            h, F.lit(r'"(?:image|img|photo|picture)"\s*:\s*"([^"]+)"'), 1
+        ).alias("c_ajax"),
         F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"><img'), 1).alias("c_pa"),
         F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"')
                              , 1).alias("c_a"),
     )
     # absolutize each channel against the page URL
-    for c in ["c_src", "c_lazy", "c_file", "c_css", "c_pa", "c_a"]:
+    for c in ["c_src", "c_lazy", "c_file", "c_css", "c_srcset", "c_ajax",
+              "c_pa", "c_a"]:
         raw = raw.withColumn(c, _urljoin_udf(F.col("url"), F.col(c)))
 
-    non_anchor = F.concat("c_src", "c_lazy", "c_file", "c_css")
+    non_anchor = F.concat("c_src", "c_lazy", "c_file", "c_css", "c_srcset",
+                          "c_ajax")
     img_from_any = F.array_union(
         F.filter(non_anchor, lambda u: valid_image_url_col(u, cfg)),
         F.filter(F.col("c_pa"), lambda u: valid_image_url_col(u, cfg)),

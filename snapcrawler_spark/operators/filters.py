@@ -68,6 +68,7 @@ def image_pipeline(
         .select(
             "image_id",
             "caption",
+            F.length("bytes").alias("n_bytes"),
             F.col("dec.w").alias("w"),
             F.col("dec.h").alias("h"),
             F.col("dec.mode").alias("mode"),
@@ -124,18 +125,26 @@ def image_pipeline(
         )
         df = survivors.unionByName(rejected)
 
-    if cfg.max_images > 0:
-        # ordered-prefix cap: single-partition window, but only over the
-        # (small) accepted stream — matches the sequential consumer break
+    if cfg.max_images > 0 or cfg.max_folder_bytes > 0:
+        # ordered-prefix caps (max_images / max_folder_size): single-
+        # partition window, but only over the (small) accepted stream —
+        # matches the sequential consumer break at filtering_module.py:
+        # 121-129 (the item reaching the cap is the last one processed)
         w_acc = Window.orderBy("item_seq")
-        accepted_all = df.where(F.col("reason").isNull()).withColumn(
-            "acc_rank", F.row_number().over(w_acc)
+        accepted_all = (
+            df.where(F.col("reason").isNull())
+            .withColumn("acc_rank", F.row_number().over(w_acc))
+            .withColumn("cum_bytes", F.sum("n_bytes").over(w_acc))
         )
-        boundary = (
-            accepted_all.where(F.col("acc_rank") == cfg.max_images)
-            .select(F.col("item_seq").alias("cap_seq"))
+        hit = F.lit(False)
+        if cfg.max_images > 0:
+            hit = hit | (F.col("acc_rank") >= cfg.max_images)
+        if cfg.max_folder_bytes > 0:
+            hit = hit | (F.col("cum_bytes") >= cfg.max_folder_bytes)
+        boundary = accepted_all.where(hit).agg(
+            F.min("item_seq").alias("cap_seq")
         )
-        df = df.crossJoin(F.broadcast(boundary.select(F.max("cap_seq").alias("cap_seq"))))
+        df = df.crossJoin(F.broadcast(boundary))
         df = df.where(F.col("cap_seq").isNull() | (F.col("item_seq") <= F.col("cap_seq")))
 
     accepted = (

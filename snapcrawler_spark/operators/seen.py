@@ -139,8 +139,12 @@ class BloomSeenSet:
             .cogroup(self.state.groupBy("pid"))
             .applyInPandas(fn, _OUT_SCHEMA)
         )
-        merged = merged.persist()
-        merged.count()  # materialize once: verdicts + new state together
+        # eager localCheckpoint: materializes the cogroup ONCE and
+        # truncates lineage — every downstream consumer (verdicts, new
+        # state, exact union) reads the checkpointed blocks. A lazy
+        # persist+unpersist dance here caused cross-wave recompute
+        # cascades of the pandas UDF.
+        merged = merged.localCheckpoint()
 
         new_state = merged.where(F.col("kind") == "state").select(
             "pid", "bitmap", "n_keys"
@@ -153,14 +157,9 @@ class BloomSeenSet:
         rescued = maybe.join(self.exact, ["url"], "left_anti").select("url", verdicts.pid)
         new_urls = (
             verdicts.where(~F.col("maybe_seen")).select("url", "pid").unionByName(rescued)
-        )
-        new_urls = new_urls.persist()
-        self.exact = self.exact.unionByName(new_urls).persist()
-        old_state = self.state
-        self.state = new_state.persist()
-        self.state.count()
-        old_state.unpersist()
-        merged.unpersist()
+        ).localCheckpoint()
+        self.exact = self.exact.unionByName(new_urls).localCheckpoint()
+        self.state = new_state  # reads checkpointed merged blocks
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )
@@ -197,9 +196,8 @@ class ExactSeenSet:
 
     def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
         cand = candidates.select(F.col(url_col).alias("url")).distinct()
-        new = cand.join(self.df, "url", "left_anti").persist()
-        new.count()
-        self.df = self.df.unionByName(new).persist()
+        new = cand.join(self.df, "url", "left_anti").localCheckpoint()
+        self.df = self.df.unionByName(new).localCheckpoint()
         flags = new.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )

@@ -140,6 +140,7 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         meta[r.image_id] = dict(
             w=int(r.w), h=int(r.h), fmt=r.fmt, caption=r.caption,
             phash=int(r.phash), mode=mode, dpi=dpi,
+            n_bytes=len(bytes(r.bytes)),
         )
 
     robots_enabled = bool(cfg.extra.get("robots_enabled", False))
@@ -239,9 +240,12 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
     # ---- consumer filter chain (filtering_module.py:140-182, 267-356) ----
     downloaded = 0
     processed = 0
+    folder_bytes = 0
     phash_seen: set[int] = set()
     for item_seq_, iurl, src, depth in res.image_items:
         if cfg.max_images > 0 and processed >= cfg.max_images:
+            break
+        if cfg.max_folder_bytes > 0 and folder_bytes >= cfg.max_folder_bytes:
             break
         f = fetch.get(iurl)
         if f is None or f[1] != 200:
@@ -300,6 +304,7 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
             phash_seen.add(m["phash"])
         res.accepted.append((item_seq_, iurl, image_id, m["phash"]))
         processed += 1
+        folder_bytes += m["n_bytes"]
 
     res.counters = dict(
         pages_crawled=fetch_seq,

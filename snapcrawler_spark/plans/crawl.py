@@ -85,6 +85,14 @@ class CrawlEngine:
         self.results: dict[str, PageRec] = (
             fetch_cache if fetch_cache is not None else {}
         )
+        # speculative frontier: min-depth estimates for every candidate
+        # URL extractable from any known page (cascade edges weight 0,
+        # link edges weight 1). Fetching ahead of the replay is free —
+        # fetch is idempotent — and keeps waves ≈ BFS depth even though
+        # cascade front-insertion would otherwise halt the replay once
+        # per cascade chain. The replay halt-set remains the exactness
+        # safety net for anything the estimate skips.
+        self.est_depth: dict[str, int] = {}
         self.waves = 0
         self._disallow: dict[str, list[str]] = {}
         if cfg.extra.get("robots_enabled"):
@@ -255,6 +263,44 @@ class CrawlEngine:
                 self.results[b] = PageRec("missing")
         self.waves += 1
 
+    def _robots_blocked(self, url: str) -> bool:
+        if not self._disallow:
+            return False
+        p = urlparse(url)
+        return any(
+            p.path.startswith(pref) for pref in self._disallow.get(p.netloc, ())
+        )
+
+    def _speculate(self) -> list[tuple[str, int]]:
+        """Unknown candidate bases with min-depth estimates."""
+        if not self.est_depth:
+            for s in self.seeds:
+                self.est_depth[s.split("#", 1)[0]] = 0
+        # one propagation pass per wave over all known pages
+        for base, rec in self.results.items():
+            d = self.est_depth.get(base)
+            if d is None or rec.kind != "page":
+                continue
+            for c in rec.cascades:
+                cb = c.split("#", 1)[0]
+                if d < self.est_depth.get(cb, 1 << 30):
+                    self.est_depth[cb] = d
+            for link in rec.links:
+                lb = link.split("#", 1)[0]
+                if d + 1 < self.est_depth.get(lb, 1 << 30):
+                    self.est_depth[lb] = d + 1
+        cfg = self.cfg
+        out = []
+        for base, d in self.est_depth.items():
+            if base in self.results:
+                continue
+            if cfg.max_depth > 0 and d >= cfg.max_depth:
+                continue
+            if self._robots_blocked(base):
+                continue
+            out.append((base, d))
+        return out
+
     # ------------------------------------------------------------------
     def run(self) -> dict:
         """Crawl to completion; returns DataFrames + driver metadata."""
@@ -262,9 +308,14 @@ class CrawlEngine:
             st = self._replay()
             if st.complete:
                 break
-            if not st.wanted:
+            wanted: dict[str, int] = dict(st.wanted)
+            if not (self.cfg.max_requests > 0
+                    and len(self.results) >= 2 * self.cfg.max_requests):
+                for base, d in self._speculate():
+                    wanted.setdefault(base, d)
+            if not wanted:
                 break
-            self._fetch_wave(st.wanted)
+            self._fetch_wave(list(wanted.items()))
 
         spark = self.spark
         crawl_order_df = spark.createDataFrame(

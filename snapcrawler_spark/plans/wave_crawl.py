@@ -81,7 +81,12 @@ class WaveCrawl:
         cfg: CrawlConfig,
         catalog: SnapshotCatalog | None = None,
         seen_kind: str = "bloom",
+        collect_metrics: bool = True,
     ):
+        """``collect_metrics=False`` drops the optional per-wave lineage
+        counts (n_ok / dup_pages / items / deduped_new) — each is a
+        Spark action, and the bench only needs fetched + candidates."""
+        self.collect_metrics = collect_metrics
         self.spark = spark
         self.t = tables
         self.cfg = cfg
@@ -233,8 +238,11 @@ class WaveCrawl:
             fresh = firsts.join(
                 probed.where("was_new").select("content_md5"), "content_md5"
             )
-            n_fresh = fresh.count()
-            n_ok = ok.count()
+            if self.collect_metrics:
+                n_fresh = fresh.count()
+                n_ok = ok.count()
+            else:
+                n_fresh = n_ok = -1
 
             # extraction over fresh pages only
             extracted = extract_from_tables(
@@ -254,7 +262,7 @@ class WaveCrawl:
                 F.posexplode("images").alias("img_idx", "image_url"),
             )
             self.items_parts.append(items.persist())
-            n_items = items.count()
+            n_items = items.count() if self.collect_metrics else -1
 
             link_cand = extracted.select(
                 F.col("enq_seq").alias("parent_seq"),
@@ -299,8 +307,9 @@ class WaveCrawl:
                 F.lit(self.wave + 1).alias("wave"),
             )
 
-            frontier = rest.unionByName(new_frontier).persist()
-            n_new = new_frontier.count()
+            # localCheckpoint (eager) truncates the per-wave union lineage
+            frontier = rest.unionByName(new_frontier).localCheckpoint()
+            n_new = new_frontier.count() if self.collect_metrics else -1
             self.total_fetched += n_selected
             self.metrics.append(
                 WaveMetrics(

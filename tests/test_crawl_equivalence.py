@@ -74,6 +74,7 @@ CONFIG_MATRIX = [
     dict(min_side_size=0, aspect_ratio_min=0.0, aspect_ratio_max=0.0),
     dict(orientation="landscape", color_mode="color", min_dpi=90),
     dict(max_images=4),
+    dict(max_folder_bytes=20_000),
     dict(host_budget=3),
     dict(extra={"robots_enabled": True}),
 ]

@@ -1,0 +1,75 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must be
+visible in `explain` output — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for small dims, and no Python UDFs in
+the metadata filter chain (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanQuality:
+    def test_scan_filter_pushdown(self, spark):
+        df = em.queries()["scan_filter"](spark, SF)
+        plan = _plan(df)
+        assert "PushedFilters:" in plan
+        assert "l_quantity" in plan.split("PushedFilters:")[1][:300], (
+            "quantity predicate did not reach the parquet scan"
+        )
+
+    def test_scan_column_pruning(self, spark):
+        df = em.queries()["scan_filter"](spark, SF)
+        plan = _plan(df)
+        read = plan.split("ReadSchema:")[1][:400]
+        # only the 4 referenced columns read, not all 11 lineitem columns
+        assert "l_extendedprice" not in read
+        assert "l_returnflag" not in read
+
+    def test_small_dim_broadcasts(self, spark):
+        df = em.queries()["broadcast_join_agg"](spark, SF)
+        assert "BroadcastHashJoin" in _plan(df)
+
+    def test_filter_chain_is_codegen_not_python(self, spark):
+        df = em.queries()["filter_chain"](spark, SF)
+        df.collect()  # AQE finalizes the physical plan on execution
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # whole-stage codegen shows as "*(n)" stage markers in toString()
+        assert "*(1)" in plan
+
+    def test_anti_join_shape(self, spark):
+        df = em.queries()["seen_anti_join"](spark, SF)
+        assert "LeftAnti" in _plan(df)
+
+    def test_image_pipeline_decodes_distinct_only(self, spark, web_xs):
+        """The decode UDF must sit above a distinct on image_id — one
+        decode per payload, not per occurrence (dedup-before-decode)."""
+        from snapcrawler_spark.conf import CrawlConfig
+        from snapcrawler_spark.io import fixture_to_spark
+        from snapcrawler_spark.operators.filters import image_pipeline
+
+        tables = fixture_to_spark(spark, web_xs)
+        items = spark.createDataFrame(
+            [(1, "https://a.test/x.png", "https://a.test/", 0)],
+            "item_seq long, image_url string, source_page string, depth int",
+        )
+        accepted, _ = image_pipeline(
+            items, tables["image_fetch"], tables["images"], CrawlConfig()
+        )
+        opt = _optimized(accepted)
+        decode_idx = opt.find("decode_meta_udf")
+        agg_idx = opt.find("Aggregate")  # the distinct below the UDF
+        assert decode_idx != -1
+        assert agg_idx != -1 and agg_idx > decode_idx
