@@ -38,6 +38,7 @@ SCALES = {
     # hosts (incl. commons), pages/host for hot|normal, images, html?
     "xs": dict(hosts=3, hot_pages=24, norm_pages=10, images=100, html=True),
     "s": dict(hosts=8, hot_pages=380, norm_pages=105, images=800, html=True),
+    "l": dict(hosts=16, hot_pages=8000, norm_pages=1700, images=1200, html=False),
     "m": dict(hosts=16, hot_pages=42000, norm_pages=4500, images=2000, html=False),
 }
 

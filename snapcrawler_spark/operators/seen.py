@@ -206,3 +206,10 @@ class ExactSeenSet:
         ).select(
             candidates["*"], F.coalesce("was_new", F.lit(False)).alias("was_new")
         )
+
+    # snapshot / resume ------------------------------------------------------
+    def snapshot(self, catalog, prefix: str = "seen") -> None:
+        catalog.table(f"{prefix}_exact").overwrite(self.df)
+
+    def restore(self, catalog, prefix: str = "seen") -> None:
+        self.df = catalog.table(f"{prefix}_exact").read().select("url")

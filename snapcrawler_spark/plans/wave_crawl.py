@@ -98,10 +98,12 @@ class WaveCrawl:
                 m_bits=1 << 17,
                 n_hashes=5,
             )
-            self.md5_seen = BloomSeenSet(spark, partitions=16, m_bits=1 << 17)
         else:
             self.seen = ExactSeenSet(spark)
-            self.md5_seen = ExactSeenSet(spark)
+        # page-content md5 set: one key per fetched page (small) — a plain
+        # exact anti-join is cheaper than a bloom probe here; the bloom
+        # machinery is for the 10^10-URL frontier, not the page-md5 set
+        self.md5_seen = ExactSeenSet(spark)
         seeds = tables["seeds"].orderBy("seed_idx").collect()
         self.seed_urls = [r.seed_url for r in seeds]
         from urllib.parse import urlparse
@@ -179,13 +181,19 @@ class WaveCrawl:
             if cfg.max_requests > 0 and self.total_fetched >= cfg.max_requests:
                 break
 
-            selected = select_wave(
-                frontier,
-                default_budget=cfg.host_budget if cfg.host_budget > 0 else 1 << 30,
-                hot_threshold=cfg.extra.get("hot_threshold", 0),
-                salt_buckets=cfg.hot_host_salt,
-            ).persist()
-            rest = frontier.join(selected.select("url"), "url", "left_anti")
+            if cfg.host_budget > 0 or cfg.extra.get("hot_threshold", 0) > 0:
+                selected = select_wave(
+                    frontier,
+                    default_budget=cfg.host_budget if cfg.host_budget > 0 else 1 << 30,
+                    hot_threshold=cfg.extra.get("hot_threshold", 0),
+                    salt_buckets=cfg.hot_host_salt,
+                ).persist()
+                rest = frontier.join(selected.select("url"), "url", "left_anti")
+            else:
+                # unlimited budget: the whole frontier is this wave — skip
+                # the politeness window and the anti-join entirely
+                selected = frontier
+                rest = frontier.limit(0)
 
             # robots gate (engine capability; reference analog: scrapy
             # ROBOTSTXT_OBEY, settings.py:34)
@@ -323,8 +331,7 @@ class WaveCrawl:
                     frontier, wave=self.wave
                 )
                 self.seen.snapshot(self.catalog, "seen")
-                if hasattr(self.md5_seen, "snapshot"):
-                    self.md5_seen.snapshot(self.catalog, "md5_seen")
+                self.md5_seen.snapshot(self.catalog, "md5_seen")
                 items_w = items.withColumn("wave", F.lit(self.wave))
                 self.catalog.table("items").append(
                     items_w,
@@ -347,6 +354,8 @@ class WaveCrawl:
             all_items = self.items_parts[0]
             for p in self.items_parts[1:]:
                 all_items = all_items.unionByName(p)
+            # collapse the many-wave union before the global item window
+            all_items = all_items.localCheckpoint()
         else:
             all_items = spark.createDataFrame(
                 [], "parent_seq long, source_page string, depth int, "
