@@ -112,11 +112,12 @@ def image_pipeline(
         )
 
     df = df.withColumn("reason", F.coalesce(F.col("pre_reason"), meta_reason))
-    # truncate lineage before the window/cap stages: the dedup split and
-    # the cap boundary cross-join each reference this plan again — with a
-    # many-wave upstream union the duplicated logical plan makes Catalyst
-    # analysis itself the bottleneck (observed: driver stuck for minutes)
-    df = df.localCheckpoint()
+    if cfg.deduplication or cfg.max_images > 0 or cfg.max_folder_bytes > 0:
+        # truncate lineage before the window/cap stages: the dedup split
+        # and the cap boundary cross-join each reference this plan again —
+        # with a many-wave upstream union the duplicated logical plan makes
+        # Catalyst analysis itself the bottleneck (driver stuck for minutes)
+        df = df.localCheckpoint()
 
     if cfg.deduplication:
         # first-wins among surviving rows only (rejected rows bypass the

@@ -189,11 +189,16 @@ class WaveCrawl:
                     salt_buckets=cfg.hot_host_salt,
                 ).persist()
                 rest = frontier.join(selected.select("url"), "url", "left_anti")
+                owns_selected = True
             else:
                 # unlimited budget: the whole frontier is this wave — skip
-                # the politeness window and the anti-join entirely
+                # the politeness window and the anti-join entirely.
+                # NOTE: selected aliases the localCheckpointed frontier —
+                # never unpersist it (checkpoint blocks cannot be
+                # recomputed; dropping them stalls the next wave's union)
                 selected = frontier
                 rest = frontier.limit(0)
+                owns_selected = False
 
             # robots gate (engine capability; reference analog: scrapy
             # ROBOTSTXT_OBEY, settings.py:34)
@@ -346,7 +351,8 @@ class WaveCrawl:
                 self.catalog.commit_wave(
                     self.wave, {"total_fetched": self.total_fetched}
                 )
-            selected.unpersist()
+            if owns_selected:
+                selected.unpersist()
             self.wave += 1
 
         # ---- image phase over all items (deterministic wave-major order)
