@@ -59,7 +59,7 @@ def q_filter_chain(spark, sf_dir):
     ratio = F.col("p_retailprice") / F.col("p_size")
     return (
         p.where(F.col("p_size").between(5, 40))
-        .where(F.lower(F.col("p_type")).contains("brass"))
+        .where(F.lower(F.col("p_type")).contains("stand"))
         .where(ratio > 30)
         .select(
             "p_partkey",
@@ -75,9 +75,11 @@ def q_filter_chain(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_seen_anti_join(spark, sf_dir):
-    """URL-seen-set shape: anti-join (customers with no orders)."""
+    """URL-seen-set shape: anti-join (customers with no finished order —
+    every customer has SOME order in this testdata, so the unfiltered
+    anti-join was vacuous)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -440,12 +442,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(p_retailprice * 100) as bigint) AS price_cents
             FROM part
             WHERE p_size BETWEEN 5 AND 40
-              AND lower(p_type) LIKE '%brass%'
+              AND lower(p_type) LIKE '%stand%'
               AND p_retailprice / p_size > 30
         """,
         "seen_anti_join": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
         """,
         "seen_semi_join": """
             SELECT s_suppkey, s_name FROM supplier s
@@ -454,7 +458,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_join_agg": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(cast(round(o_totalprice * 100) as bigint)) AS total_cents
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
@@ -480,26 +484,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "counter_tally": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-                   sum(cast(round(value * 100) as bigint)) AS value_cents
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
             FROM events GROUP BY event_type
         """,
         "per_depth_counts": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, source, count(*) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS total_chars,
                    min(doc_id) AS first_doc
             FROM documents GROUP BY lang, source
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(round(l_quantity * 100) as bigint)) AS sum_qty_cents,
-                   sum(cast(round(l_extendedprice * 100) as bigint)) AS sum_base_cents,
-                   sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS sum_disc_cents,
+                   cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint) AS sum_qty_cents,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) AS sum_base_cents,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) AS revenue_cents
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) AS revenue_cents
             FROM customer JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             WHERE c_mktsegment = 'BUILDING'
@@ -510,9 +515,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_sum": """
             SELECT o_custkey, o_orderkey,
-                   sum(cast(round(o_totalprice * 100) as bigint)) OVER (
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS running_cents
             FROM orders WHERE o_custkey % 100 = 0
         """,
         "ordered_prefix_cap": """
@@ -556,11 +561,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tumbling_window": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-                   sum(cast(round(value * 100) as bigint)) AS value_cents
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "rollup_counts": """
-            SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+            SELECT lang, source, count(*) AS n,
+                   cast(sum(n_chars) as bigint) AS chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "pivot_status": """
@@ -626,18 +632,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            )
             SELECT md5(text) AS content_md5, count(*) AS n_copies,
                    min(doc_id) AS keeper_doc_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM corpus GROUP BY md5(text) HAVING count(*) > 1
             ORDER BY keeper_doc_id
         """,
-        "dedup_ngram_jaccard": """
+        "dedup_ngram_jaccard": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ), sh AS (
+            ), sh_all AS (
               SELECT DISTINCT doc_id,
                      array_to_string(t[i:i+2], ' ') AS shingle
               FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ), keep AS (
+              SELECT shingle FROM sh_all GROUP BY shingle
+              HAVING count(*) <= {_dedup.MAX_SHINGLE_DOC_FREQ}
+            ), sh AS (
+              SELECT doc_id, sh_all.shingle FROM sh_all
+              JOIN keep ON sh_all.shingle = keep.shingle
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), pairs AS (
@@ -697,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
             ), bits AS (
               SELECT doc_id, bit,
                      sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM words, unnest(range(0, 32)) AS ub(bit)
+              FROM words, unnest(range(0, {_dedup.SIMHASH_BITS})) AS ub(bit)
               GROUP BY doc_id, bit
             ), packed AS (
               SELECT doc_id,
@@ -705,8 +723,8 @@ def oracle_sql() -> dict[str, str]:
                           as bigint) AS simhash
               FROM bits GROUP BY doc_id
             ), segs AS (
-              SELECT doc_id, simhash, seg, (simhash >> (seg * 8)) & 255 AS seg_val
-              FROM packed, unnest(range(0, 4)) AS us(seg)
+              SELECT doc_id, simhash, seg, (simhash >> (seg * 10)) & 1023 AS seg_val
+              FROM packed, unnest(range(0, {_dedup.SIMHASH_SEGS})) AS us(seg)
             ), cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.simhash AS sh_a, b.simhash AS sh_b

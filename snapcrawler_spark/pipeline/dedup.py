@@ -7,11 +7,12 @@ JVM-side (F.md5 is codegen'd) and every stage is shuffle-on-key.
 - exact:         hash-groupBy on full content
 - ngram_jaccard: shingle explode → self-join on shingle → pair overlap
                  counts → Jaccard ≥ τ (quadratic only within shared
-                 shingles; stop-shingle cap keeps the join skew-safe)
+                 shingles; a doc-frequency cap drops stop-shingles so
+                 one hot shingle can't make the self-join quadratic)
 - minhash_lsh:   H=16 minhashes, b=4 bands × r=4 rows; band-bucket
                  join finds candidate pairs without the full self-join
-- simhash:       64-bit sign-aggregated word-hash fingerprint; near-dup
-                 when hamming distance ≤ 3
+- simhash:       60-bit sign-aggregated word-hash fingerprint; near-dup
+                 when hamming distance ≤ 3 (6×10-bit segment pigeonhole)
 """
 
 from __future__ import annotations
@@ -22,6 +23,15 @@ from pyspark.sql import functions as F
 N_MINHASH = 16
 LSH_BANDS = 4  # × 4 rows per band
 SHINGLE_K = 3
+# Drop shingles appearing in more than this many documents before the
+# pair join: a shingle with doc-freq d contributes d² join rows, so one
+# ubiquitous shingle ("the of the") makes the join quadratic in corpus
+# size. Capped shingles carry ~no similarity signal (they're corpus-wide
+# stopword patterns). At the gate scale factors no shingle reaches the
+# cap, so oracle results are unchanged; the skew test exercises it.
+MAX_SHINGLE_DOC_FREQ = 1000
+SIMHASH_BITS = 60  # _hash60 yields 60 meaningful bits
+SIMHASH_SEGS = 6   # 10-bit segments; pigeonhole sound for hamming ≤ 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,9 +58,22 @@ def shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-content duplicate groups (hash-groupBy dedup)."""
+def docs_with_seeded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic copies (every doc_id % 7 == 0 re-inserted
+    at doc_id + 10_000_000). The synthetic corpus has no byte-identical
+    texts below sf0.1, which made the exact-dedup gate vacuous; seeding
+    known duplicates keeps the gate non-trivial at every scale factor."""
     d = _docs(spark, sf_dir)
+    dup = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return d.unionByName(dup)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content duplicate groups (hash-groupBy dedup) over the
+    seeded-duplicate corpus."""
+    d = docs_with_seeded_dups(spark, sf_dir)
     return (
         d.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
         .groupBy("content_md5")
@@ -64,11 +87,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    max_doc_freq: int = MAX_SHINGLE_DOC_FREQ,
 ) -> DataFrame:
-    """Near-duplicate pairs by 3-gram shingle Jaccard ≥ threshold."""
+    """Near-duplicate pairs by 3-gram shingle Jaccard ≥ threshold.
+
+    Shingles with document frequency > max_doc_freq are dropped before
+    BOTH the size count and the pair join (standard stop-shingle
+    removal), so Jaccard stays consistent and the join never explodes
+    quadratically on a hot shingle."""
     d = _docs(spark, sf_dir)
     sh = shingles(d)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = (
+        sh.join(dfreq.where(F.col("df") <= max_doc_freq), "shingle")
+        .select("doc_id", "shingle")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -170,9 +206,9 @@ def dedup_minhash_lsh(
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 64-bit… here 32-bit sign-aggregated fingerprint
-    (32 bits keeps the bit-explode cross join 2× cheaper; the operator
-    shape is identical at 64)."""
+    """(doc_id, simhash): 60-bit sign-aggregated fingerprint (all 60
+    meaningful bits of _hash60 — 32 bits saturates with random
+    collisions at 10^10 docs)."""
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -180,7 +216,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = words.withColumn("hv", _hash60(F.col("w")))
     bits = words.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("bit"),
+        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_BITS)])).alias("bit"),
         "hv",
     ).withColumn(
         "contrib",
@@ -200,14 +236,15 @@ def dedup_simhash(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k.
 
-    Candidates via 4-segment pigeonhole (a pair within hamming 3 must
-    agree on ≥1 of 4 disjoint 8-bit segments) — no full self-join."""
+    Candidates via 6-segment pigeonhole over the 60-bit fingerprint
+    (a pair within hamming ≤ 5 must agree on ≥1 of 6 disjoint 10-bit
+    segments) — no full self-join."""
     sh = simhash(spark, sf_dir)
     segs = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seg"),
-    ).withColumn("seg_val", F.expr("(simhash >> (seg * 8)) & 255"))
+        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_SEGS)])).alias("seg"),
+    ).withColumn("seg_val", F.expr("(simhash >> (seg * 10)) & 1023"))
     a = segs.alias("a")
     b = segs.alias("b")
     cand = (
