@@ -100,7 +100,11 @@ def crawl_throughput(spark, web_root: str) -> dict:
     n_accepted = run["accepted"].count()  # forces the image pipeline too
     secs = time.time() - t0
     fetched = run["total_fetched"]
-    probed = sum(m.candidates for m in run["metrics"])
+    # URLs deduped = unique URLs admitted through the seen-set probe
+    # (counted once at the end from the checkpointed exact table — the
+    # per-wave candidate counts are disabled in bench mode to keep the
+    # wave loop at its minimum driver-action count)
+    probed = run["seen"].exact.count()
     urls = fetched + probed
     return dict(
         crawl_secs=round(secs, 2),

@@ -11,6 +11,21 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# Retry policy (reference: settings.py:84-85 — RETRY_HTTP_CODES and
+# RETRY_TIMES): transient statuses re-enter the frontier with
+# attempt+1 <= MAX_RETRIES.
+RETRYABLE_STATUSES = (500, 502, 503, 504, 408, 429)
+MAX_RETRIES = 3
+
+# CAPTCHA detection (reference: middlewares.py:109-157): a response is a
+# CAPTCHA challenge when status == 403 or its body contains one of these
+# markers; such responses are dropped (IgnoreRequest) — no retry, no
+# extraction — and tallied with outcome='captcha' in the fetch lineage.
+CAPTCHA_INDICATORS = (
+    "captcha", "recaptcha", "hcaptcha", "cloudflare",
+    "please verify", "human verification", "robot check",
+)
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -40,7 +55,10 @@ class CrawlConfig:
     seen_partitions: int = 64     # bloom seen-set partition count
     bloom_bits_per_key: int = 10
     hot_host_salt: int = 8        # salt fan-out for hot hosts
-    ordering: str = "strict"      # 'strict' (reference replay) | 'wave'
+    # default is the fully relational scale path; 'strict' (driver
+    # replay of exact reference FIFO order) remains the bit-exactness
+    # oracle mode for parity tests
+    ordering: str = "wave"        # 'wave' | 'strict' (reference replay)
 
     extra: dict = field(default_factory=dict, compare=False)
 

@@ -181,8 +181,9 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                 iid = image_ids[int(rng.integers(0, len(image_ids)))]
                 iurl = _mk_image_url(rng, host, iid, image_fmt[iid])
                 ch = ["img_src", "img_datasrc", "file_url", "css_inline",
-                      "css_style", "parent_a", "srcset", "ajax"][
-                    int(rng.integers(0, 8))
+                      "css_style", "parent_a", "srcset", "ajax",
+                      "json_ld", "data_bg"][
+                    int(rng.integers(0, 10))
                 ]
                 if iurl not in fetch_map:
                     fr = rng.random()
@@ -232,6 +233,22 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                         f'<script>var d = {{"items": {{"image": "{iurl}"}}, '
                         f'"n": {item_idx}}};</script>'
                     )
+                elif ch == "json_ld":
+                    # structured data (image_spider.py:211-219); the image
+                    # URL sits nested under a non-image key to exercise
+                    # the recursive JSON walk semantics
+                    item_rows.append((url, item_idx, "json_ld", iurl))
+                    item_idx += 1
+                    html_parts.append(
+                        '<script type="application/ld+json">'
+                        f'{{"@type": "ImageObject", "content": '
+                        f'{{"url": "{iurl}"}}}}</script>'
+                    )
+                elif ch == "data_bg":
+                    # hidden-image data attribute (image_spider.py:266)
+                    item_rows.append((url, item_idx, "data_bg", iurl))
+                    item_idx += 1
+                    html_parts.append(f'<div data-bg="{iurl}">z</div>')
                 else:
                     item_rows.append((url, item_idx, ch, iurl))
                     item_idx += 1
@@ -264,6 +281,25 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
     pages = pd.DataFrame(
         page_rows, columns=["url", "host", "status", "html", "content_md5"]
     )
+
+    # transient-failure model (retry coverage, settings.py:84-85): the
+    # first `transient_fails` fetch attempts of a page return 503, then
+    # the listed status. Drawn from an independent per-URL generator so
+    # every other fixture column is byte-identical to the pre-retry
+    # fixture. ~5% of pages fail 1-3 times (recoverable within the
+    # 3-retry budget), ~2% fail 4 times (exhaust it).
+    def _transient_fails(url: str) -> int:
+        trng = np.random.Generator(
+            np.random.PCG64(seed * 271829 + _stable_hash(url))
+        )
+        t = trng.random()
+        if t < 0.05:
+            return int(trng.integers(1, 4))
+        if t < 0.07:
+            return 4
+        return 0
+
+    pages["transient_fails"] = [_transient_fails(u) for u in pages["url"]]
     # ~5% duplicate-content pairs: later page adopts an earlier page's html
     rng = np.random.Generator(np.random.PCG64(seed * 31337))
     n_pages = len(pages)

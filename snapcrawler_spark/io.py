@@ -14,6 +14,7 @@ SCHEMAS = {
             T.StructField("status", T.IntegerType(), False),
             T.StructField("html", T.StringType(), True),
             T.StructField("content_md5", T.StringType(), False),
+            T.StructField("transient_fails", T.IntegerType(), False),
         ]
     ),
     "links": T.StructType(

@@ -90,6 +90,52 @@ def content_type_udf(data: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def kmeans_palette(
+    colors: np.ndarray, k: int = 8, iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd k-means over an (n,3) color array — the
+    from-scratch analog of advanced_formats.py:289-302 (sklearn KMeans,
+    random_state=42) with reproducible initialization: centers start at
+    the k most frequent colors (the input arrives frequency-sorted), so
+    identical input → identical palette on every run/executor."""
+    n = len(colors)
+    if n == 0:
+        return colors.reshape(0, 3)
+    k = min(k, n)
+    pts = colors.astype(np.float64)
+    centers = pts[:k].copy()
+    for _ in range(iters):
+        d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            sel = pts[assign == c]
+            if len(sel):
+                centers[c] = sel.mean(axis=0)
+    order = np.lexsort((centers[:, 2], centers[:, 1], centers[:, 0]))
+    return np.clip(centers[order], 0, 255).astype(np.int64)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def color_palette_udf(data: pd.Series) -> pd.Series:
+    """Top-20 dominant colors → k-means palette as hex strings
+    (advanced_formats.py:277-302)."""
+    out = []
+    for b in data:
+        try:
+            px, _, _ = decode_image(bytes(b))
+            if px.ndim == 2:
+                px = np.stack([px] * 3, -1)
+            h, w = px.shape[:2]
+            sample = px[:: max(1, h // 100), :: max(1, w // 100)].reshape(-1, 3)
+            colors, counts = np.unique(sample, axis=0, return_counts=True)
+            top = colors[np.argsort(-counts)[:20]]
+            pal = kmeans_palette(top)
+            out.append([f"#{r:02x}{g:02x}{b_:02x}" for r, g, b_ in pal])
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def dominant_colors_udf(data: pd.Series) -> pd.Series:
     out = []

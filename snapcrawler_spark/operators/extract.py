@@ -219,21 +219,52 @@ def extract_from_html(
             h, F.lit(r"""url\(["']?([^"')]+)["']?\)"""), 1
         ).alias("c_css"),
         srcset_urls.alias("c_srcset"),
-        # embedded-JSON image keys (ajax walk, middlewares.py:230-248)
+        # embedded-JSON image keys (ajax walk, middlewares.py:230-248);
+        # the flat key-value regex is nesting-agnostic, so it equals the
+        # reference's recursive dict walk for key-addressed URLs
         F.regexp_extract_all(
-            h, F.lit(r'"(?:image|img|photo|picture)"\s*:\s*"([^"]+)"'), 1
+            h,
+            F.lit(
+                r'"(?:image|img|photo|picture|thumbnail|src|url)"'
+                r'\s*:\s*"([^"]+)"'
+            ),
+            1,
         ).alias("c_ajax"),
+        # JSON-LD structured data (image_spider.py:211-219): the recursive
+        # walk keeps exactly the string values that look like image URLs,
+        # which equals a flat scan for quoted http(s) URLs inside the
+        # ld+json block (validity is re-checked downstream either way)
+        F.flatten(
+            F.transform(
+                F.regexp_extract_all(
+                    h,
+                    F.lit(
+                        r'<script type="application/ld\+json">(.*?)</script>'
+                    ),
+                    1,
+                ),
+                lambda b: F.regexp_extract_all(
+                    b, F.lit(r'"(https?://[^"]+)"'), 1
+                ),
+            )
+        ).alias("c_jsonld"),
+        # hidden-image data attributes (image_spider.py:266)
+        F.regexp_extract_all(
+            h,
+            F.lit(r'data-(?:bg|background-image|srcset)="([^"]+)"'),
+            1,
+        ).alias("c_databg"),
         F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"><img'), 1).alias("c_pa"),
         F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"')
                              , 1).alias("c_a"),
     )
     # absolutize each channel against the page URL
     for c in ["c_src", "c_lazy", "c_file", "c_css", "c_srcset", "c_ajax",
-              "c_pa", "c_a"]:
+              "c_jsonld", "c_databg", "c_pa", "c_a"]:
         raw = raw.withColumn(c, _urljoin_udf(F.col("url"), F.col(c)))
 
     non_anchor = F.concat("c_src", "c_lazy", "c_file", "c_css", "c_srcset",
-                          "c_ajax")
+                          "c_ajax", "c_jsonld", "c_databg")
     img_from_any = F.array_union(
         F.filter(non_anchor, lambda u: valid_image_url_col(u, cfg)),
         F.filter(F.col("c_pa"), lambda u: valid_image_url_col(u, cfg)),

@@ -32,6 +32,60 @@ from snapcrawler_spark.kernels.udfs import decode_meta_udf
 from snapcrawler_spark.operators.extract import url_ext_col
 
 
+_CAP_BUCKET = 4096  # accepted rows per cap bucket (see _cap_boundary)
+
+
+def _cap_boundary(df: DataFrame, cfg: CrawlConfig) -> int | None:
+    """Exact item_seq at which the ordered-prefix caps (max_images /
+    max_folder_bytes) hit, or None if they never do.
+
+    Matches the sequential consumer break at filtering_module.py:121-129
+    (the item reaching the cap is the last one processed). The naive
+    plan — row_number + running sum over ``Window.orderBy(item_seq)`` —
+    moves every accepted row to one partition; instead:
+
+    1. partial counts/byte-sums per item_seq bucket (one shuffle-on-key
+       aggregation, partition-parallel);
+    2. prefix-scan the bucket partials on the driver (≤ max_seq/4096
+       tiny rows) to locate the single crossing bucket;
+    3. pull only that bucket's rows (≤ 4096) and walk to the exact
+       boundary.
+    """
+    acc = df.where(F.col("reason").isNull()).select("item_seq", "n_bytes")
+    bucket_stats = sorted(
+        acc.groupBy((F.col("item_seq") / _CAP_BUCKET).cast("long").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("nb"))
+        .collect(),
+        key=lambda r: r.b,
+    )
+    cum_n = 0
+    cum_b = 0
+    crossing = None
+    for r in bucket_stats:
+        nxt_n, nxt_b = cum_n + r.n, cum_b + (r.nb or 0)
+        if (cfg.max_images > 0 and nxt_n >= cfg.max_images) or (
+            cfg.max_folder_bytes > 0 and nxt_b >= cfg.max_folder_bytes
+        ):
+            crossing = r.b
+            break
+        cum_n, cum_b = nxt_n, nxt_b
+    if crossing is None:
+        return None
+    rows = sorted(
+        acc.where((F.col("item_seq") / _CAP_BUCKET).cast("long") == crossing)
+        .collect(),
+        key=lambda r: r.item_seq,
+    )
+    for r in rows:
+        cum_n += 1
+        cum_b += r.n_bytes or 0
+        if (cfg.max_images > 0 and cum_n >= cfg.max_images) or (
+            cfg.max_folder_bytes > 0 and cum_b >= cfg.max_folder_bytes
+        ):
+            return int(r.item_seq)
+    raise AssertionError("crossing bucket did not cross")  # unreachable
+
+
 def image_pipeline(
     items: DataFrame,
     image_fetch: DataFrame,
@@ -43,7 +97,10 @@ def image_pipeline(
     accepted: item_seq, image_url, image_id, phash, caption, w, h
     rejections: item_seq, image_url, reason
     """
-    fetched = items.join(F.broadcast(image_fetch), "image_url", "left")
+    # shuffle-join on image_url: image_fetch has one row per image URL in
+    # the corpus — unbounded at crawl scale, so never broadcast it (AQE
+    # may still pick a broadcast at fixture scale, which is fine)
+    fetched = items.join(image_fetch, "image_url", "left")
     fetched = fetched.withColumn("ext", url_ext_col(F.col("image_url")))
 
     pre_reason = (
@@ -132,26 +189,9 @@ def image_pipeline(
         df = survivors.unionByName(rejected)
 
     if cfg.max_images > 0 or cfg.max_folder_bytes > 0:
-        # ordered-prefix caps (max_images / max_folder_size): single-
-        # partition window, but only over the (small) accepted stream —
-        # matches the sequential consumer break at filtering_module.py:
-        # 121-129 (the item reaching the cap is the last one processed)
-        w_acc = Window.orderBy("item_seq")
-        accepted_all = (
-            df.where(F.col("reason").isNull())
-            .withColumn("acc_rank", F.row_number().over(w_acc))
-            .withColumn("cum_bytes", F.sum("n_bytes").over(w_acc))
-        )
-        hit = F.lit(False)
-        if cfg.max_images > 0:
-            hit = hit | (F.col("acc_rank") >= cfg.max_images)
-        if cfg.max_folder_bytes > 0:
-            hit = hit | (F.col("cum_bytes") >= cfg.max_folder_bytes)
-        boundary = accepted_all.where(hit).agg(
-            F.min("item_seq").alias("cap_seq")
-        )
-        df = df.crossJoin(F.broadcast(boundary))
-        df = df.where(F.col("cap_seq").isNull() | (F.col("item_seq") <= F.col("cap_seq")))
+        cap_seq = _cap_boundary(df, cfg)
+        if cap_seq is not None:
+            df = df.where(F.col("item_seq") <= F.lit(cap_seq))
 
     accepted = (
         df.where(F.col("reason").isNull())

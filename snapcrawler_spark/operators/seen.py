@@ -70,10 +70,33 @@ class BloomSeenSet:
         self.m_bits = m_bits
         self.n_hashes = n_hashes
         self.state: DataFrame = spark.createDataFrame([], _STATE_SCHEMA)
-        # exact companion table for FP rescue + resumability audits
-        self.exact: DataFrame = spark.createDataFrame(
-            [], "url string, pid int"
-        )
+        # exact companion table for FP rescue + resumability audits.
+        # Append-only: one checkpointed delta per wave — re-materializing
+        # the full union every wave would rewrite the entire history
+        # (O(total) checkpoint work per wave at 10^10 URLs).
+        self._exact_parts: list[DataFrame] = []
+        # deltas not yet appended to a catalog snapshot (kept separate
+        # from the probe-side parts so compaction never loses a delta)
+        self._pending_snapshot: list[DataFrame] = []
+        self._compact_at = 32
+
+    @property
+    def exact(self) -> DataFrame:
+        """The exact seen table = union of committed deltas."""
+        if not self._exact_parts:
+            return self.spark.createDataFrame([], "url string, pid int")
+        out = self._exact_parts[0]
+        for p in self._exact_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _append_exact(self, new_urls: DataFrame) -> None:
+        self._exact_parts.append(new_urls)
+        self._pending_snapshot.append(new_urls)
+        if len(self._exact_parts) >= self._compact_at:
+            # bound plan width: fold accumulated deltas into one part
+            # (amortized O(total / compact_at) per wave)
+            self._exact_parts = [self.exact.localCheckpoint()]
 
     # -- column helpers ---------------------------------------------------
     def _keyed(self, df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -158,7 +181,7 @@ class BloomSeenSet:
         new_urls = (
             verdicts.where(~F.col("maybe_seen")).select("url", "pid").unionByName(rescued)
         ).localCheckpoint()
-        self.exact = self.exact.unionByName(new_urls).localCheckpoint()
+        self._append_exact(new_urls)  # O(new) — no re-checkpoint of history
         self.state = new_state  # reads checkpointed merged blocks
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
@@ -178,12 +201,24 @@ class BloomSeenSet:
 
     # snapshot / resume -----------------------------------------------------
     def snapshot(self, catalog, prefix: str = "seen") -> None:
+        """Bitmaps are fixed-size state → overwrite; the exact table is
+        append-only → commit only the deltas since the last snapshot
+        (Iceberg-append semantics; O(new) write per wave)."""
         catalog.table(f"{prefix}_bloom").overwrite(self.state)
-        catalog.table(f"{prefix}_exact").overwrite(self.exact)
+        t = catalog.table(f"{prefix}_exact")
+        if self._pending_snapshot:
+            delta = self._pending_snapshot[0]
+            for p in self._pending_snapshot[1:]:
+                delta = delta.unionByName(p)
+            t.append(delta)
+            self._pending_snapshot = []
+        elif t.latest_version() is None:
+            t.append(self.exact)  # first commit of an empty set
 
     def restore(self, catalog, prefix: str = "seen") -> None:
         self.state = catalog.table(f"{prefix}_bloom").read().persist()
-        self.exact = catalog.table(f"{prefix}_exact").read().persist()
+        self._exact_parts = [catalog.table(f"{prefix}_exact").read().persist()]
+        self._pending_snapshot = []
 
 
 class ExactSeenSet:
@@ -192,12 +227,28 @@ class ExactSeenSet:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self.df: DataFrame = spark.createDataFrame([], "url string")
+        self._parts: list[DataFrame] = []
+        self._pending_snapshot: list[DataFrame] = []
+        self._compact_at = 32
+
+    @property
+    def df(self) -> DataFrame:
+        if not self._parts:
+            return self.spark.createDataFrame([], "url string")
+        out = self._parts[0]
+        for p in self._parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
         cand = candidates.select(F.col(url_col).alias("url")).distinct()
         new = cand.join(self.df, "url", "left_anti").localCheckpoint()
-        self.df = self.df.unionByName(new).localCheckpoint()
+        # append-only: one O(new) delta per probe, never an O(total)
+        # re-checkpoint of the whole set
+        self._parts.append(new)
+        self._pending_snapshot.append(new)
+        if len(self._parts) >= self._compact_at:
+            self._parts = [self.df.localCheckpoint()]
         flags = new.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )
@@ -209,7 +260,18 @@ class ExactSeenSet:
 
     # snapshot / resume ------------------------------------------------------
     def snapshot(self, catalog, prefix: str = "seen") -> None:
-        catalog.table(f"{prefix}_exact").overwrite(self.df)
+        t = catalog.table(f"{prefix}_exact")
+        if self._pending_snapshot:
+            delta = self._pending_snapshot[0]
+            for p in self._pending_snapshot[1:]:
+                delta = delta.unionByName(p)
+            t.append(delta.select("url"))
+            self._pending_snapshot = []
+        elif t.latest_version() is None:
+            t.append(self.df)
 
     def restore(self, catalog, prefix: str = "seen") -> None:
-        self.df = catalog.table(f"{prefix}_exact").read().select("url")
+        self._parts = [
+            catalog.table(f"{prefix}_exact").read().select("url").persist()
+        ]
+        self._pending_snapshot = []

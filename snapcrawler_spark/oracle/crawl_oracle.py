@@ -31,7 +31,12 @@ from urllib.parse import urlparse
 import numpy as np
 import pandas as pd
 
-from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.conf import (
+    CAPTCHA_INDICATORS,
+    MAX_RETRIES,
+    RETRYABLE_STATUSES,
+    CrawlConfig,
+)
 
 _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico")
 _EXCLUDE_PATTERNS = (".css", ".js", ".html", ".php", ".xml", ".json")
@@ -93,13 +98,25 @@ class OracleResult:
     accepted: list = field(default_factory=list)      # (item_seq, image_url, image_id, phash)
     rejections: list = field(default_factory=list)    # (item_seq, image_url, reason)
     robots_blocked: list = field(default_factory=list)
+    captcha_blocked: list = field(default_factory=list)
     counters: dict = field(default_factory=dict)
 
 
 def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
     pages = {
-        r.url: (int(r.status), r.content_md5)
+        r.url: (
+            int(r.status),
+            r.content_md5,
+            int(getattr(r, "transient_fails", 0)),
+        )
         for r in web["pages"].itertuples()
+    }
+    # CAPTCHA challenge pages (middlewares.py:109-157): marker in body
+    captcha_pages = {
+        r.url
+        for r in web["pages"].itertuples()
+        if isinstance(getattr(r, "html", None), str)
+        and any(ind in r.html.lower() for ind in CAPTCHA_INDICATORS)
     }
     links_by: dict[str, list] = {}
     for r in web["links"].itertuples():
@@ -154,18 +171,18 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
     allowed_domains = {urlparse(s).netloc for s in seeds}
 
     # ---- producer loop (crawling_module.py:80-189) ----
-    queue: list[tuple[str, int]] = []
+    queue: list[tuple[str, int, int]] = []  # (url, depth, attempt)
     visited: set[str] = set()
     page_hashes: set[str] = set()
     for s in seeds:
-        queue.append((s, 0))
+        queue.append((s, 0, 0))
         visited.add(s)
 
     request_count = 0
     fetch_seq = 0
     item_seq = 0
     while queue and (cfg.max_requests == 0 or request_count < cfg.max_requests):
-        url, depth = queue.pop(0)
+        url, depth, attempt = queue.pop(0)
         if cfg.max_depth > 0 and depth >= cfg.max_depth:
             continue
         if robots_enabled:
@@ -181,13 +198,28 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         base = strip_fragment(url)
         page = pages.get(base)
         img_as_page = fetch.get(base) if page is None else None
+        # transient-failure model: attempts < transient_fails return 503
+        eff_status = None
+        if page is not None:
+            eff_status = 503 if attempt < page[2] else page[0]
+        # CAPTCHA challenge → IgnoreRequest: response discarded entirely
+        # (no md5, no extraction, no retry) but the request still counts
+        is_captcha = page is not None and (
+            eff_status == 403 or (eff_status == 200 and base in captcha_pages)
+        )
+        if is_captcha:
+            res.captcha_blocked.append(url)
+            res.crawl_order.append((fetch_seq, url, depth))
+            fetch_seq += 1
+            request_count += 1
+            continue
         content_md5 = None
-        if page is not None and page[0] == 200:
+        if page is not None and eff_status == 200:
             content_md5 = page[1]
         elif img_as_page is not None and img_as_page[1] == 200:
             # image URL crawled as a page: body = image bytes, no anchors
             content_md5 = bytes_md5.get(img_as_page[0])
-        if page is not None and page[0] == 200 and content_md5 not in page_hashes:
+        if page is not None and eff_status == 200 and content_md5 not in page_hashes:
             page_hashes.add(content_md5)
             img_set: set[str] = set()
             anchor_hrefs: list[str] = []  # parent-<a> hrefs, document order
@@ -227,13 +259,20 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         # cascade front-insertion reverses relative order (crawling_module.py:137-140)
         for c in cascades:
             if c not in visited:
-                queue.insert(0, (c, depth))
+                queue.insert(0, (c, depth, 0))
                 visited.add(c)
         for link in new_links:
             if link not in visited:
-                queue.append((link, depth + 1))
+                queue.append((link, depth + 1, 0))
                 visited.add(link)
         request_count += 1
+        # retry: transient statuses re-enter the queue tail with
+        # attempt+1 <= MAX_RETRIES (settings.py:84-85 retry policy)
+        if (
+            eff_status in RETRYABLE_STATUSES
+            and attempt + 1 <= MAX_RETRIES
+        ):
+            queue.append((url, depth, attempt + 1))
 
     res.seen_set = visited
 
@@ -313,6 +352,7 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         processed=processed,
         filtered_out=len(res.rejections),
         robots_blocked=len(res.robots_blocked),
+        captcha_blocked=len(res.captcha_blocked),
         unique_urls=len(visited),
     )
     return res

@@ -32,7 +32,12 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.conf import (
+    CAPTCHA_INDICATORS,
+    MAX_RETRIES,
+    RETRYABLE_STATUSES,
+    CrawlConfig,
+)
 from snapcrawler_spark.operators.extract import (
     extract_from_html,
     extract_from_tables,
@@ -48,6 +53,8 @@ class PageRec:
     images: tuple = ()
     cascades: tuple = ()
     links: tuple = ()
+    transient_fails: int = 0  # attempts < this return 503 (retry model)
+    is_captcha: bool = False  # body carries a CAPTCHA marker
 
 
 @dataclass
@@ -57,6 +64,7 @@ class ReplayState:
     image_items: list = field(default_factory=list)  # (item_seq, url, src, depth)
     visited: set = field(default_factory=set)
     robots_blocked: list = field(default_factory=list)
+    captcha_blocked: list = field(default_factory=list)
     wanted: list = field(default_factory=list)  # [(base, depth)] fetch candidates
 
 
@@ -106,18 +114,18 @@ class CrawlEngine:
     def _replay(self) -> ReplayState:
         cfg = self.cfg
         st = ReplayState()
-        queue: list[tuple[str, int]] = []
+        queue: list[tuple[str, int, int]] = []  # (url, depth, attempt)
         visited: set[str] = set()
         page_hashes: set[str] = set()
         for s in self.seeds:
-            queue.append((s, 0))
+            queue.append((s, 0, 0))
             visited.add(s)
         request_count = 0
         fetch_seq = 0
         item_seq = 0
         halted = False
         while queue and (cfg.max_requests == 0 or request_count < cfg.max_requests):
-            url, depth = queue[0]
+            url, depth, attempt = queue[0]
             base = url.split("#", 1)[0]
             if cfg.max_depth > 0 and depth >= cfg.max_depth:
                 queue.pop(0)
@@ -137,14 +145,30 @@ class CrawlEngine:
                 break
             queue.pop(0)
 
+            # transient-failure model: attempts < transient_fails see 503
+            eff_status = rec.status
+            if rec.kind == "page" and attempt < rec.transient_fails:
+                eff_status = 503
+
+            # CAPTCHA → IgnoreRequest (middlewares.py:140-146): response
+            # discarded, request counted, no retry
+            if rec.kind == "page" and (
+                eff_status == 403 or (eff_status == 200 and rec.is_captcha)
+            ):
+                st.captcha_blocked.append(url)
+                st.crawl_order.append((fetch_seq, url, depth))
+                fetch_seq += 1
+                request_count += 1
+                continue
+
             images: tuple = ()
             cascades: tuple = ()
             links: tuple = ()
-            if rec.kind == "page" and rec.status == 200:
+            if rec.kind == "page" and eff_status == 200:
                 if rec.md5 not in page_hashes:
                     page_hashes.add(rec.md5)
                     images, cascades, links = rec.images, rec.cascades, rec.links
-            elif rec.kind == "image" and rec.status == 200:
+            elif rec.kind == "image" and eff_status == 200:
                 page_hashes.add(rec.md5)
 
             st.crawl_order.append((fetch_seq, url, depth))
@@ -154,13 +178,19 @@ class CrawlEngine:
                 item_seq += 1
             for c in cascades:
                 if c not in visited:
-                    queue.insert(0, (c, depth))
+                    queue.insert(0, (c, depth, 0))
                     visited.add(c)
             for link in links:
                 if link not in visited:
-                    queue.append((link, depth + 1))
+                    queue.append((link, depth + 1, 0))
                     visited.add(link)
             request_count += 1
+            # retry: transient statuses re-enter the queue tail
+            if (
+                eff_status in RETRYABLE_STATUSES
+                and attempt + 1 <= MAX_RETRIES
+            ):
+                queue.append((url, depth, attempt + 1))
 
         st.visited = visited
         if not halted:
@@ -169,7 +199,7 @@ class CrawlEngine:
         # fetch candidates: every queued entry with an unknown base that
         # would actually be processed (depth + robots pre-filters applied)
         seen_bases: set[str] = set()
-        for u, d in queue:
+        for u, d, _a in queue:
             if cfg.max_depth > 0 and d >= cfg.max_depth:
                 continue
             if self._disallow:
@@ -207,8 +237,18 @@ class CrawlEngine:
         ).withColumn("url", F.col("base"))
 
         pages = self.t["pages"]
+        tf_col = (
+            pages.transient_fails
+            if "transient_fails" in pages.columns
+            else F.lit(0).alias("transient_fails")
+        )
+        body = F.coalesce(F.lower(pages.html), F.lit(""))
+        captcha_col = F.lit(False)
+        for ind in CAPTCHA_INDICATORS:
+            captcha_col = captcha_col | body.contains(ind)
         hit = wave.join(pages, wave.base == pages.url, "inner").select(
-            wave.base, pages.status, pages.content_md5, pages.html
+            wave.base, pages.status, pages.content_md5, pages.html, tf_col,
+            captcha_col.alias("is_captcha"),
         )
         ok_pages = hit.where(F.col("status") == 200).select(
             F.col("base").alias("url"), "html"
@@ -223,7 +263,9 @@ class CrawlEngine:
                 cfg,
                 self.allowed_hosts,
             )
-        page_recs = hit.select("base", "status", "content_md5").join(
+        page_recs = hit.select(
+            "base", "status", "content_md5", "transient_fails", "is_captcha"
+        ).join(
             extracted.withColumnRenamed("url", "base"), "base", "left"
         ).withColumn("kind", F.lit("page"))
 
@@ -240,6 +282,8 @@ class CrawlEngine:
                 "base",
                 img_fetch.status,
                 F.col("bytes_md5").alias("content_md5"),
+                F.lit(0).alias("transient_fails"),
+                F.lit(False).alias("is_captcha"),
                 F.lit(None).cast("array<string>").alias("images"),
                 F.lit(None).cast("array<string>").alias("cascade_cands"),
                 F.lit(None).cast("array<string>").alias("link_cands"),
@@ -257,6 +301,8 @@ class CrawlEngine:
                 tuple(r.images or ()),
                 tuple(r.cascade_cands or ()),
                 tuple(r.link_cands or ()),
+                int(r.transient_fails or 0),
+                bool(r.is_captcha),
             )
         for b, _ in batch:
             if b not in got:
@@ -336,5 +382,6 @@ class CrawlEngine:
             rejections=rejections,
             seen_set=st.visited,
             robots_blocked=st.robots_blocked,
+            captcha_blocked=st.captcha_blocked,
             waves=self.waves,
         )

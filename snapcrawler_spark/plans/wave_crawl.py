@@ -48,13 +48,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapcrawler_spark.catalog import SnapshotCatalog
-from snapcrawler_spark.conf import CrawlConfig
+from snapcrawler_spark.conf import (
+    CAPTCHA_INDICATORS,
+    MAX_RETRIES,
+    RETRYABLE_STATUSES,
+    CrawlConfig,
+)
 from snapcrawler_spark.operators.extract import (
     extract_from_tables,
     host_col,
 )
 from snapcrawler_spark.operators.filters import image_pipeline
-from snapcrawler_spark.operators.politeness import select_wave
+from snapcrawler_spark.operators.order import dense_order_key
+from snapcrawler_spark.operators.politeness import adapt_budgets, select_wave
 from snapcrawler_spark.operators.seen import BloomSeenSet, ExactSeenSet
 
 _SEQ_WAVE_SHIFT = 44
@@ -114,6 +120,13 @@ class WaveCrawl:
         self.total_fetched = 0
         self.wave = 0
         self._restored_frontier: DataFrame | None = None
+        # adaptive politeness (middlewares_advanced.py:379-417 control law
+        # in budget space): per-host budgets fed back from fetch statuses
+        self.budgets: DataFrame | None = None
+        self.budget_history: list[dict] = []
+        # per-wave (host, status, outcome) fetch lineage
+        # (filtering_module.py:53,245-247 error-tally analog)
+        self.tally_parts: list[DataFrame] = []
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom
@@ -126,7 +139,10 @@ class WaveCrawl:
         import json
         import os
 
-        self._restored_frontier = self.catalog.table("frontier").read()
+        restored = self.catalog.table("frontier").read()
+        if "attempt" not in restored.columns:  # pre-retry snapshots
+            restored = restored.withColumn("attempt", F.lit(0))
+        self._restored_frontier = restored
         self.seen.restore(self.catalog, "seen")
         self.md5_seen.restore(self.catalog, "md5_seen")
         with open(os.path.join(self.catalog.root, "wave_cursor.json")) as f:
@@ -146,6 +162,7 @@ class WaveCrawl:
             F.lit(1).alias("priority"),
             "enq_seq",
             F.lit(0).alias("wave"),
+            F.lit(0).alias("attempt"),
         )
 
     def _pack_seq(self, df: DataFrame, wave: int) -> DataFrame:
@@ -159,6 +176,27 @@ class WaveCrawl:
             F.lit((wave + 1) << _SEQ_WAVE_SHIFT).cast("long")
             + F.shiftleft(pid, _SEQ_PID_SHIFT)
             + F.row_number().over(w),
+        )
+
+    def stats(self) -> dict:
+        """Derived crawl statistics from the per-wave lineage counters
+        (parallel_manager.py:124-144 stats-fold analog): totals plus
+        floor-scaled e4 rates, all integer-exact."""
+        m = self.metrics
+        fetched = sum(x.selected for x in m)
+        ok = sum(max(x.fetched_ok, 0) for x in m)
+        cands = sum(max(x.candidates, 0) for x in m)
+        new = sum(max(x.deduped_new, 0) for x in m)
+        items = sum(max(x.items, 0) for x in m)
+        return dict(
+            fetched=fetched,
+            ok=ok,
+            candidates=cands,
+            new_urls=new,
+            items=items,
+            dedup_rate_e4=(cands - new) * 10000 // cands if cands else 0,
+            ok_rate_e4=ok * 10000 // fetched if fetched else 0,
+            items_per_ok_e4=items * 10000 // ok if ok else 0,
         )
 
     def run(self, max_waves: int = 64) -> dict:
@@ -184,6 +222,7 @@ class WaveCrawl:
             if cfg.host_budget > 0 or cfg.extra.get("hot_threshold", 0) > 0:
                 selected = select_wave(
                     frontier,
+                    budgets=self.budgets,
                     default_budget=cfg.host_budget if cfg.host_budget > 0 else 1 << 30,
                     hot_threshold=cfg.extra.get("hot_threshold", 0),
                     salt_buckets=cfg.hot_host_salt,
@@ -230,14 +269,60 @@ class WaveCrawl:
                 "base", F.substring_index("url", "#", 1)
             ).persist()
             n_selected = fetchable.count()
-            hit = fetchable.join(
-                pages.select(
-                    F.col("url").alias("base"), "status", "content_md5"
-                ),
-                "base",
-                "left",
+            page_cols = [F.col("url").alias("base"), "status", "content_md5"]
+            if "transient_fails" in pages.columns:
+                page_cols.append(F.col("transient_fails"))
+            if "html" in pages.columns:
+                body = F.coalesce(F.lower(F.col("html")), F.lit(""))
+                captcha_col = F.lit(False)
+                for ind in CAPTCHA_INDICATORS:
+                    captcha_col = captcha_col | body.contains(ind)
+                page_cols.append(captcha_col.alias("page_captcha"))
+            hit = fetchable.join(pages.select(*page_cols), "base", "left")
+            if "transient_fails" not in hit.columns:
+                hit = hit.withColumn("transient_fails", F.lit(0))
+            if "page_captcha" not in hit.columns:
+                hit = hit.withColumn("page_captcha", F.lit(False))
+            # a fetch at attempt a < transient_fails returns 503 (the
+            # transient-failure model of the fixture; production analog:
+            # the HTTP stage's real status for this attempt)
+            hit = hit.withColumn(
+                "eff_status",
+                F.when(
+                    F.col("attempt") < F.coalesce("transient_fails", F.lit(0)),
+                    F.lit(503),
+                ).otherwise(F.col("status")),
             )
-            ok = hit.where(F.col("status") == 200)
+            # CAPTCHA gate (middlewares.py:109-157): 403 or a marker in
+            # the body → IgnoreRequest (dropped, tallied, never retried)
+            hit = hit.withColumn(
+                "is_captcha",
+                (F.col("eff_status") == 403)
+                | (
+                    (F.col("eff_status") == 200)
+                    & F.coalesce("page_captcha", F.lit(False))
+                ),
+            )
+            ok = hit.where((F.col("eff_status") == 200) & ~F.col("is_captcha"))
+
+            # retry: transient statuses re-enter the frontier with
+            # attempt+1 <= MAX_RETRIES (settings.py:84-85; queue-tail
+            # re-enqueue in the reference's scheduler)
+            retries = (
+                hit.where(
+                    F.col("eff_status").isin(list(RETRYABLE_STATUSES))
+                    & (F.col("attempt") + 1 <= MAX_RETRIES)
+                )
+                .select(
+                    "url", "host", "depth", "priority", "enq_seq",
+                    (F.col("attempt") + 1).alias("attempt"),
+                )
+                .withColumn("wave", F.lit(self.wave + 1))
+                .select(
+                    "url", "host", "depth", "priority", "enq_seq",
+                    "wave", "attempt",
+                )
+            )
 
             # MD5 page dedup: within-wave first-wins + cross-wave probe
             w_md5 = Window.partitionBy("content_md5").orderBy(
@@ -307,7 +392,8 @@ class WaveCrawl:
             cands = cands.withColumn(
                 "cand_rank", F.row_number().over(w_cand)
             ).where(F.col("cand_rank") == 1).drop("cand_rank")
-            n_cands = cands.count()
+            want_counts = self.collect_metrics or self.catalog is not None
+            n_cands = cands.count() if want_counts else -1
 
             probed = self.seen.probe_and_insert(cands)
             new_rows = probed.where("was_new").drop("was_new")
@@ -318,11 +404,70 @@ class WaveCrawl:
                 "priority",
                 "enq_seq",
                 F.lit(self.wave + 1).alias("wave"),
+                F.lit(0).alias("attempt"),
             )
 
+            # fetch lineage: per-(host, status, outcome) tally — the
+            # engine table behind the reference's error counters
+            # (filtering_module.py:53,245-247) and the adaptive-politeness
+            # feedback signal
+            adaptive = cfg.host_budget > 0 and cfg.extra.get(
+                "adaptive_politeness"
+            )
+            if want_counts or adaptive:
+                outcome = (
+                    F.when(F.col("is_captcha"), F.lit("captcha"))
+                    .when(F.col("eff_status") == 200, F.lit("ok"))
+                    .when(
+                        F.col("eff_status").isin(list(RETRYABLE_STATUSES)),
+                        F.lit("transient"),
+                    )
+                    .when(F.col("eff_status").isNull(), F.lit("missing"))
+                    .otherwise(F.lit("http_error"))
+                )
+                tally = (
+                    hit.groupBy(
+                        "host",
+                        F.col("eff_status").alias("status"),
+                        outcome.alias("outcome"),
+                    )
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("wave", F.lit(self.wave))
+                    .localCheckpoint()
+                )
+                self.tally_parts.append(tally)
+            if adaptive:
+                # budget recurrence consumed by the NEXT select_wave
+                wave_status = tally.groupBy("host").agg(
+                    F.sum(
+                        F.when(F.col("outcome") == "ok", F.col("n")).otherwise(0)
+                    ).cast("int").alias("n_ok"),
+                    F.sum(
+                        F.when(
+                            F.col("outcome") == "transient", F.col("n")
+                        ).otherwise(0)
+                    ).cast("int").alias("n_err"),
+                )
+                prev = self.budgets
+                if prev is None:
+                    prev = spark.createDataFrame([], "host string, budget int")
+                self.budgets = adapt_budgets(
+                    prev,
+                    wave_status,
+                    base=cfg.host_budget,
+                    base_max=cfg.extra.get("budget_max", 8 * cfg.host_budget),
+                    backoff=cfg.extra.get("budget_backoff", 2.0),
+                ).localCheckpoint()
+                if self.collect_metrics:
+                    self.budget_history.append(
+                        {r.host: r.budget for r in self.budgets.collect()}
+                    )
+
             # localCheckpoint (eager) truncates the per-wave union lineage
-            frontier = rest.unionByName(new_frontier).localCheckpoint()
-            n_new = new_frontier.count() if self.collect_metrics else -1
+            frontier = (
+                rest.unionByName(new_frontier).unionByName(retries)
+            ).localCheckpoint()
+            n_new = new_frontier.count() if want_counts else -1
             self.total_fetched += n_selected
             self.metrics.append(
                 WaveMetrics(
@@ -335,6 +480,7 @@ class WaveCrawl:
                 self.catalog.table("frontier").overwrite(
                     frontier, wave=self.wave
                 )
+                self.catalog.table("fetch_tally").append(tally, wave=self.wave)
                 self.seen.snapshot(self.catalog, "seen")
                 self.md5_seen.snapshot(self.catalog, "md5_seen")
                 items_w = items.withColumn("wave", F.lit(self.wave))
@@ -360,28 +506,38 @@ class WaveCrawl:
             all_items = self.items_parts[0]
             for p in self.items_parts[1:]:
                 all_items = all_items.unionByName(p)
-            # collapse the many-wave union before the global item window
+            # collapse the many-wave union before the ranking shuffle
             all_items = all_items.localCheckpoint()
         else:
             all_items = spark.createDataFrame(
                 [], "parent_seq long, source_page string, depth int, "
                 "img_idx int, image_url string"
             )
-        w_item = Window.orderBy("parent_seq", "image_url")
-        items_seq = all_items.dropDuplicates(
-            ["parent_seq", "image_url"]
-        ).withColumn("item_seq", F.row_number().over(w_item)).select(
-            "item_seq", "image_url", "source_page", "depth"
-        )
+        # global dense item_seq WITHOUT a single-partition window:
+        # range-partitioned rank + per-partition offsets (operators/order)
+        items_seq = dense_order_key(
+            all_items.dropDuplicates(["parent_seq", "image_url"]),
+            ["parent_seq", "image_url"],
+            out_col="item_seq",
+        ).select("item_seq", "image_url", "source_page", "depth")
         accepted, rejections = image_pipeline(
             items_seq, self.t["image_fetch"], self.t["images"], cfg
         )
+        if self.tally_parts:
+            fetch_tally = self.tally_parts[0]
+            for p in self.tally_parts[1:]:
+                fetch_tally = fetch_tally.unionByName(p)
+        else:
+            fetch_tally = spark.createDataFrame(
+                [], "host string, status int, outcome string, n long, wave int"
+            )
         return dict(
             frontier=frontier,
             accepted=accepted,
             rejections=rejections,
             items=items_seq,
             metrics=self.metrics,
+            fetch_tally=fetch_tally,
             seen=self.seen,
             waves=self.wave,
             total_fetched=self.total_fetched,

@@ -94,3 +94,34 @@ class TestAnalysisKernels:
         ).select(content_type_udf(F.col("bytes")).alias("ct"))
         got = [r.ct for r in df.collect()]
         assert got[0] == "photo" and got[1] is None
+
+
+class TestColorPalette:
+    def test_kmeans_palette_deterministic_and_bounded(self):
+        from snapcrawler_spark.kernels.analysis import kmeans_palette
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        colors = rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+        a = kmeans_palette(colors)
+        b = kmeans_palette(colors.copy())
+        assert np.array_equal(a, b)
+        assert a.shape == (8, 3)
+        assert a.min() >= 0 and a.max() <= 255
+        # fewer colors than k → one center per color
+        two = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        pal = kmeans_palette(two)
+        assert pal.shape == (2, 3)
+        assert {tuple(c) for c in pal} == {(0, 0, 0), (255, 255, 255)}
+
+    def test_color_palette_udf(self, spark):
+        from snapcrawler_spark.kernels.analysis import color_palette_udf
+
+        # a two-tone image clusters to exactly its two colors
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        img[:, 32:] = [200, 10, 10]
+        df = spark.createDataFrame(
+            [(encode_png(img),), (b"junk",)], "bytes binary"
+        ).select(color_palette_udf(F.col("bytes")).alias("pal"))
+        got = [r.pal for r in df.collect()]
+        assert got[1] is None
+        assert set(got[0]) == {"#000000", "#c80a0a"}

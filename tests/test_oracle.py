@@ -86,25 +86,50 @@ class TestCrawlSemantics:
         capped = crawl_oracle(web_xs, _cfg(web_xs, max_requests=10))
         assert capped.crawl_order == full.crawl_order[:10]
 
-    def test_each_url_fetched_at_most_once(self, web_s):
+    def test_each_url_fetched_at_most_once_per_attempt(self, web_s):
+        """A URL is fetched once — plus up to MAX_RETRIES extra attempts
+        when its status is transient (settings.py:84-85 retry policy).
+        Only pages with a retryable status may repeat."""
+        from collections import Counter
+
+        from snapcrawler_spark.conf import MAX_RETRIES, RETRYABLE_STATUSES
+
         res = crawl_oracle(web_s, _cfg(web_s))
-        urls = [u for _, u, _ in res.crawl_order]
-        assert len(urls) == len(set(urls))
+        counts = Counter(u for _, u, _ in res.crawl_order)
+        pages = web_s["pages"].set_index("url")
+        retried = {u for u, n in counts.items() if n > 1}
+        assert retried, "fixture should contain at least one retried page"
+        assert all(n <= 1 + MAX_RETRIES for n in counts.values())
+        for u in retried:
+            base = u.split("#", 1)[0]
+            row = pages.loc[base]
+            assert (
+                int(row.status) in RETRYABLE_STATUSES
+                or int(row.transient_fails) > 0
+            ), f"{u} repeated without a transient status"
 
     def test_seen_set_superset_of_fetched(self, web_s):
         res = crawl_oracle(web_s, _cfg(web_s))
         assert {u for _, u, _ in res.crawl_order} <= res.seen_set
 
     def test_md5_dup_pages_yield_nothing(self, web_s):
+        from collections import Counter
+
         res = crawl_oracle(web_s, _cfg(web_s))
         pages = web_s["pages"]
         md5_of = dict(zip(pages.url, pages.content_md5))
         status_of = dict(zip(pages.url, pages.status))
+        tf_of = dict(zip(pages.url, pages.transient_fails))
         seen_md5 = set()
+        attempts: Counter = Counter()
         for _, url, _ in res.crawl_order:
             base = url.split("#", 1)[0]
+            attempt = attempts[base]
+            attempts[base] += 1
             if status_of.get(base) != 200:
                 continue
+            if attempt < tf_of.get(base, 0):
+                continue  # this attempt returned 503 — no content seen
             md5 = md5_of.get(base)
             if md5 in seen_md5:
                 # duplicate page: must have contributed no image items

@@ -6,6 +6,7 @@ the metadata filter chain (SURVEY §4)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as em
 
@@ -52,6 +53,72 @@ class TestPlanQuality:
     def test_anti_join_shape(self, spark):
         df = em.queries()["seen_anti_join"](spark, SF)
         assert "LeftAnti" in _plan(df)
+
+    def test_image_pipeline_no_broadcast_of_image_fetch(self, spark, web_xs):
+        """image_fetch is one row per image URL in the corpus — unbounded
+        at crawl scale. The pipeline must not hint a broadcast of it (AQE
+        may still choose one at fixture scale; the *hint* is the bug)."""
+        from snapcrawler_spark.conf import CrawlConfig
+        from snapcrawler_spark.io import fixture_to_spark
+        from snapcrawler_spark.operators.filters import image_pipeline
+
+        tables = fixture_to_spark(spark, web_xs)
+        items = spark.createDataFrame(
+            [(1, "https://a.test/x.png", "https://a.test/", 0)],
+            "item_seq long, image_url string, source_page string, depth int",
+        )
+        accepted, _ = image_pipeline(
+            items, tables["image_fetch"], tables["images"], CrawlConfig()
+        )
+        opt = _optimized(accepted)
+        assert "hint" not in opt.lower() or "broadcast" not in opt.lower(), (
+            "broadcast hint found in image_pipeline plan"
+        )
+
+    def test_image_pipeline_caps_without_global_window(self, spark, web_xs):
+        """max_images/max_folder_bytes must not appear as an unpartitioned
+        window over the accepted stream (the old single-partition cap)."""
+        from snapcrawler_spark.conf import CrawlConfig
+        from snapcrawler_spark.io import fixture_to_spark
+        from snapcrawler_spark.operators.filters import image_pipeline
+
+        tables = fixture_to_spark(spark, web_xs)
+        rows = [
+            (i, f"https://a.test/x{i}.png", "https://a.test/", 0)
+            for i in range(1, 20)
+        ]
+        items = spark.createDataFrame(
+            rows,
+            "item_seq long, image_url string, source_page string, depth int",
+        )
+        accepted, _ = image_pipeline(
+            items,
+            tables["image_fetch"],
+            tables["images"],
+            CrawlConfig(max_images=5, deduplication=False),
+        )
+        plan = _plan(accepted)
+        assert "Window" not in plan, (
+            "cap path must use bucketed partials, not a window"
+        )
+
+    def test_dense_order_key_has_no_unpartitioned_window(self, spark):
+        from snapcrawler_spark.operators.order import dense_order_key
+
+        df = spark.range(1000).select(
+            F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+        )
+        out = dense_order_key(df, ["b", "a"], out_col="seq")
+        plan = _plan(out)
+        # the window must be partitioned (by __pid); an unpartitioned
+        # window prints 'Window [..]' with an empty partition spec
+        import re
+
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert m.group(1).strip() != "", "unpartitioned window in plan"
+        # and it must actually equal the global dense rank
+        got = [r.seq for r in out.orderBy("b", "a").collect()]
+        assert got == list(range(1, 1001))
 
     def test_image_pipeline_decodes_distinct_only(self, spark, web_xs):
         """The decode UDF must sit above a distinct on image_id — one
