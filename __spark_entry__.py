@@ -403,6 +403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup.dedup_simhash,
         "ann_brute_force": _ann.ann_brute_force,
         "ann_lsh": _ann.ann_lsh,
+        "ann_lsh_multi": _ann.ann_lsh_multi,
+        # rows-only (no DuckDB oracle): iterative k-means training is not
+        # SQL-expressible; correctness hook = pytest recall properties
+        # (tests/test_ann_ivf.py: recall(n_probe=n_cells)==1.0 vs brute)
+        "ann_ivf": _ann.ann_ivf,
         "embedding_norm_stats": _ann.norm_stats,
     }
 
@@ -779,6 +784,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                  PARTITION BY query_id ORDER BY cosine_e6 DESC, nn_id) AS rank
               FROM cand) WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "ann_lsh_multi": f"""
+            WITH e AS (
+              SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid_all, v AS pv
+              FROM e ORDER BY vec_id LIMIT {_ann.N_TABLES * _ann.N_PLANES}
+            ), planes AS (
+              SELECT pid_all // {_ann.N_PLANES} AS tbl,
+                     pid_all % {_ann.N_PLANES} AS plane_id, pv
+              FROM p
+            ), sig AS (
+              SELECT vec_id, tbl,
+                     cast(sum(CASE WHEN list_dot_product(v, pv) >= 0
+                         THEN (1::BIGINT << plane_id) ELSE 0 END) as bigint) AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id, tbl
+            ), q AS (
+              SELECT vec_id AS query_id, tbl, bucket FROM sig WHERE vec_id % 50 = 0
+            ), cand AS (
+              SELECT DISTINCT query_id, s.vec_id AS nn_id
+              FROM q JOIN sig s ON q.tbl = s.tbl AND q.bucket = s.bucket
+                 AND s.vec_id <> q.query_id
+            ), scored AS (
+              SELECT query_id, nn_id,
+                     cast(floor((list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                           * 1000000) as bigint) AS cosine_e6
+              FROM cand
+              JOIN e a ON a.vec_id = query_id
+              JOIN e b ON b.vec_id = nn_id
+            )
+            SELECT query_id, nn_id, cosine_e6, rank FROM (
+              SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine_e6 DESC, nn_id) AS rank
+              FROM scored) WHERE rank <= 5
             ORDER BY query_id, rank
         """,
         "embedding_norm_stats": """

@@ -19,7 +19,8 @@ plan:
 
 Reject-reason vocabulary matches the oracle:
 http_error, non_image_content_type, svg_unsupported, decode_error,
-size, format, dpi, color, orientation, aspect, duplicate_phash.
+size, format, dpi, color, orientation, aspect, duplicate_phash,
+watermark.
 """
 
 from __future__ import annotations
@@ -116,6 +117,12 @@ def image_pipeline(
     fetched = fetched.withColumn("pre_reason", pre_reason)
 
     # decode once per distinct payload actually reaching the decode stage
+    if cfg.watermark_enabled:
+        from snapcrawler_spark.kernels.analysis import watermark_udf
+
+        wm_col = watermark_udf(F.col("bytes"))
+    else:
+        wm_col = F.lit(False)
     need_decode = (
         fetched.where(F.col("pre_reason").isNull())
         .select("image_id")
@@ -125,6 +132,7 @@ def image_pipeline(
         .select(
             "image_id",
             "caption",
+            wm_col.alias("wm"),
             F.length("bytes").alias("n_bytes"),
             F.col("dec.w").alias("w"),
             F.col("dec.h").alias("h"),
@@ -187,6 +195,17 @@ def image_pipeline(
             F.when(F.row_number().over(w_dup) > 1, F.lit("duplicate_phash")),
         )
         df = survivors.unionByName(rejected)
+
+    if cfg.watermark_enabled:
+        # reference order (filtering_module.py:336-350): the phash insert
+        # precedes the watermark check, so a duplicate of a watermarked
+        # winner rejects as duplicate_phash, and the winner as watermark
+        df = df.withColumn(
+            "reason",
+            F.coalesce(
+                F.col("reason"), F.when(F.col("wm"), F.lit("watermark"))
+            ),
+        )
 
     if cfg.max_images > 0 or cfg.max_folder_bytes > 0:
         cap_seq = _cap_boundary(df, cfg)

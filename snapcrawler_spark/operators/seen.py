@@ -106,11 +106,18 @@ class BloomSeenSet:
         ).withColumn("pid", F.pmod(F.xxhash64(u, F.lit(7)), F.lit(self.partitions)).cast("int"))
 
     # ----------------------------------------------------------------------
-    def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
-        """Returns candidates with a ``was_new`` column; inserts all new
-        URLs into the set. Candidates are deduped on url first (the
-        first occurrence in a batch wins, like dict insertion)."""
-        cand = self._keyed(candidates.select(url_col).distinct(), url_col)
+    def probe_new(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        """Probe-and-insert returning ONLY the new URLs (url, pid) —
+        no join back onto the candidate rows. ``assume_unique=True``
+        skips the dedup shuffle when the caller already deduped (the
+        wave loop's first-enqueuer-wins window does)."""
+        base = candidates.select(F.col(url_col).alias("url"))
+        cand = self._keyed(base if assume_unique else base.distinct())
         m_bits, k = self.m_bits, self.n_hashes
 
         def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -183,6 +190,19 @@ class BloomSeenSet:
         ).localCheckpoint()
         self._append_exact(new_urls)  # O(new) — no re-checkpoint of history
         self.state = new_state  # reads checkpointed merged blocks
+        return new_urls
+
+    def probe_and_insert(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        """Returns candidates with a ``was_new`` column; inserts all new
+        URLs into the set. Candidates are deduped on url first (the
+        first occurrence in a batch wins, like dict insertion) unless
+        ``assume_unique``."""
+        new_urls = self.probe_new(candidates, url_col, assume_unique)
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )
@@ -240,8 +260,14 @@ class ExactSeenSet:
             out = out.unionByName(p)
         return out
 
-    def probe_and_insert(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
-        cand = candidates.select(F.col(url_col).alias("url")).distinct()
+    def probe_new(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        base = candidates.select(F.col(url_col).alias("url"))
+        cand = base if assume_unique else base.distinct()
         new = cand.join(self.df, "url", "left_anti").localCheckpoint()
         # append-only: one O(new) delta per probe, never an O(total)
         # re-checkpoint of the whole set
@@ -249,6 +275,15 @@ class ExactSeenSet:
         self._pending_snapshot.append(new)
         if len(self._parts) >= self._compact_at:
             self._parts = [self.df.localCheckpoint()]
+        return new
+
+    def probe_and_insert(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        new = self.probe_new(candidates, url_col, assume_unique)
         flags = new.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )

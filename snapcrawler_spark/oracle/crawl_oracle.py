@@ -276,6 +276,24 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
 
     res.seen_set = visited
 
+    # watermark ground truth: shares the engine kernel (deviation: cv2
+    # MSER is unavailable, so both sides pin the stable-region spec of
+    # kernels/analysis.py — the kernel itself has independent unit tests)
+    _wm_cache: dict[str, bool] = {}
+
+    def _wm(image_id: str) -> bool:
+        if image_id not in _wm_cache:
+            from snapcrawler_spark.kernels.analysis import has_watermark
+            from snapcrawler_spark.kernels.codecs import decode_image
+
+            row = img_df[img_df.image_id == image_id].iloc[0]
+            try:
+                px, _, _ = decode_image(bytes(row.bytes))
+                _wm_cache[image_id] = has_watermark(px)
+            except Exception:
+                _wm_cache[image_id] = False
+        return _wm_cache[image_id]
+
     # ---- consumer filter chain (filtering_module.py:140-182, 267-356) ----
     downloaded = 0
     processed = 0
@@ -341,6 +359,10 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
                 res.rejections.append((item_seq_, iurl, "duplicate_phash"))
                 continue
             phash_seen.add(m["phash"])
+        if cfg.watermark_enabled and _wm(image_id):
+            # after the phash insert, like filtering_module.py:336-350
+            res.rejections.append((item_seq_, iurl, "watermark"))
+            continue
         res.accepted.append((item_seq_, iurl, image_id, m["phash"]))
         processed += 1
         folder_bytes += m["n_bytes"]

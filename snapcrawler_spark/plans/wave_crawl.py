@@ -209,7 +209,7 @@ class WaveCrawl:
             frontier = self._restored_frontier
         else:
             frontier = self._seed_frontier()
-            self.seen.probe_and_insert(frontier.select("url"))
+            self.seen.probe_new(frontier.select("url"), assume_unique=True)
 
         end_wave = self.wave + max_waves
         while self.wave < end_wave:
@@ -331,7 +331,8 @@ class WaveCrawl:
             ok = ok.withColumn("md5_rank", F.row_number().over(w_md5))
             firsts = ok.where(F.col("md5_rank") == 1)
             probed = self.md5_seen.probe_and_insert(
-                firsts.select(F.col("content_md5").alias("url"))
+                firsts.select(F.col("content_md5").alias("url")),
+                assume_unique=True,
             ).withColumnRenamed("url", "content_md5")
             fresh = firsts.join(
                 probed.where("was_new").select("content_md5"), "content_md5"
@@ -395,7 +396,7 @@ class WaveCrawl:
             want_counts = self.collect_metrics or self.catalog is not None
             n_cands = cands.count() if want_counts else -1
 
-            probed = self.seen.probe_and_insert(cands)
+            probed = self.seen.probe_and_insert(cands, assume_unique=True)
             new_rows = probed.where("was_new").drop("was_new")
             new_frontier = self._pack_seq(new_rows, self.wave).select(
                 "url",

@@ -1,0 +1,61 @@
+"""IVF ANN correctness properties (the rows-only gate's pytest hook).
+
+The op has no DuckDB oracle (iterative k-means); instead we pin:
+1. full probe ≡ brute force: with n_probe = n_cells every cell is
+   scanned, so the result must equal the exact top-k bit-for-bit;
+2. partial-probe recall floor vs brute force;
+3. determinism across invocations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snapcrawler_spark.pipeline.ann import (
+    N_CELLS,
+    ann_brute_force,
+    ann_ivf,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def brute(spark):
+    return {
+        (r.query_id, r.rank): r.nn_id
+        for r in ann_brute_force(spark, SF).collect()
+    }
+
+
+def _pairs(df):
+    return {(r.query_id, r.rank): r.nn_id for r in df.collect()}
+
+
+class TestIvf:
+    def test_full_probe_equals_brute_force(self, spark, brute):
+        got = _pairs(ann_ivf(spark, SF, n_probe=N_CELLS))
+        assert got == brute
+
+    def test_partial_probe_recall_floor(self, spark, brute):
+        got = _pairs(ann_ivf(spark, SF))  # default n_probe=4 of 16 cells
+        want_sets = {}
+        got_sets = {}
+        for (q, _rk), nn in brute.items():
+            want_sets.setdefault(q, set()).add(nn)
+        for (q, _rk), nn in got.items():
+            got_sets.setdefault(q, set()).add(nn)
+        recalls = [
+            len(got_sets.get(q, set()) & want) / len(want)
+            for q, want in want_sets.items()
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        # 4/16 cells probed: cosine neighbors concentrate in nearby
+        # cells, so recall must be far above the 25% random floor
+        # (measured 0.68 on this near-random synthetic corpus)
+        assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f}"
+
+    def test_deterministic(self, spark):
+        a = _pairs(ann_ivf(spark, SF))
+        b = _pairs(ann_ivf(spark, SF))
+        assert a == b

@@ -77,6 +77,7 @@ CONFIG_MATRIX = [
     dict(max_folder_bytes=20_000),
     dict(host_budget=3),
     dict(extra={"robots_enabled": True}),
+    dict(watermark_enabled=True),
 ]
 
 

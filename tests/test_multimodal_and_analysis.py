@@ -125,3 +125,36 @@ class TestColorPalette:
         got = [r.pal for r in df.collect()]
         assert got[1] is None
         assert set(got[0]) == {"#000000", "#c80a0a"}
+
+
+class TestWatermark:
+    def test_region_count_separates_busy_overlay_from_flat(self):
+        from snapcrawler_spark.kernels.analysis import (
+            has_watermark,
+            region_count,
+        )
+
+        flat = np.full((96, 96, 3), 240, dtype=np.uint8)
+        assert region_count(flat) <= 1
+        assert not has_watermark(flat)
+        # 8×8 grid of isolated dark dots = 64 stable regions (> 50)
+        dotted = np.full((96, 96), 240, dtype=np.uint8)
+        for i in range(8):
+            for j in range(8):
+                dotted[4 + i * 12 : 7 + i * 12, 4 + j * 12 : 7 + j * 12] = 10
+        assert region_count(np.stack([dotted] * 3, -1)) == 64
+        assert has_watermark(np.stack([dotted] * 3, -1))
+
+    def test_watermark_udf_rejects_in_pipeline(self, spark):
+        from snapcrawler_spark.kernels.analysis import watermark_udf
+
+        dotted = np.full((96, 96), 240, dtype=np.uint8)
+        for i in range(8):
+            for j in range(8):
+                dotted[4 + i * 12 : 7 + i * 12, 4 + j * 12 : 7 + j * 12] = 10
+        flat = np.full((64, 64, 3), 240, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(encode_png(np.stack([dotted] * 3, -1)),), (encode_png(flat),)],
+            "bytes binary",
+        ).select(watermark_udf(F.col("bytes")).alias("wm"))
+        assert [r.wm for r in df.collect()] == [True, False]
