@@ -19,8 +19,10 @@ Sizing: 10^10 keys × 10 bits ≈ 12.5 GB of bitmap; at P=4096 that is
 ~3 MB per partition — one Arrow batch. Here P defaults small for
 local[32]; both knobs are CrawlConfig fields.
 
-A cuckoo-filter variant (deletable entries, for frontier-eviction
-semantics) is provided as a drop-in with the same interface.
+``CuckooSeenSet`` is a drop-in variant with the same interface plus
+``remove()`` — deletable entries for frontier-eviction semantics a
+bloom cannot express (partial-key cuckoo: 4-slot buckets, XOR
+alternate addressing, bounded eviction chains with a stash).
 """
 
 from __future__ import annotations
@@ -309,4 +311,303 @@ class ExactSeenSet:
         self._parts = [
             catalog.table(f"{prefix}_exact").read().select("url").persist()
         ]
+        self._pending_snapshot = []
+
+
+def _cuckoo_unpack(blob: bytes, n_buckets: int):
+    """State blob layout: table bytes (n_buckets·4·2) + stash (k·8)."""
+    tbl_bytes = n_buckets * 4 * 2
+    table = np.frombuffer(blob[:tbl_bytes], dtype=np.uint16).reshape(
+        n_buckets, 4
+    ).copy()
+    stash = np.frombuffer(blob[tbl_bytes:], dtype=np.uint64).copy()
+    return table, stash
+
+
+def _cuckoo_pack(table: np.ndarray, stash: np.ndarray) -> bytes:
+    return table.tobytes() + stash.astype(np.uint64).tobytes()
+
+
+def _cuckoo_fp_buckets(h1: np.ndarray, h2: np.ndarray, n_buckets: int):
+    """Partial-key cuckoo addressing: fp=(h1 mod 65535)+1,
+    b2 = b1 XOR fp·0x5bd1e995 (both mod n_buckets)."""
+    fp = (h1 % np.uint64(65535)).astype(np.uint16) + np.uint16(1)
+    b1 = (h2 % np.uint64(n_buckets)).astype(np.int64)
+    alt = np.uint64(0x5BD1E995) * fp.astype(np.uint64)
+    b2 = ((b1.astype(np.uint64) ^ alt) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+    return fp, b1, b2
+
+
+class CuckooSeenSet:
+    """Partitioned cuckoo-filter seen set — drop-in for BloomSeenSet
+    with DELETABLE entries (frontier-eviction semantics the bloom
+    cannot express).
+
+    Per partition the state is a (n_buckets × 4)-slot uint16
+    fingerprint table plus a small uint64 stash for insert overflows
+    (stash entries hold the full 64-bit key hash, so a stash hit is
+    effectively exact). fp = (h1 mod 65535)+1 (0 = empty);
+    b1 = h2 mod B, b2 = (b1 XOR fp·0x5bd1e995) mod B — the standard
+    partial-key cuckoo construction, so delete-by-fingerprint works
+    from either bucket. Lookups are fully vectorized; inserts walk the
+    (rare) eviction chains in a bounded loop.
+
+    Like the bloom variant, 'maybe-seen' verdicts are rescued against
+    the append-only exact table; unlike a bloom, a deleted key frees
+    its slot, so the filter tracks a *mutable* working set (e.g. the
+    in-flight frontier) without monotone saturation.
+    """
+
+    MAX_KICKS = 500
+    STASH_CAP = 128
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        partitions: int = 64,
+        n_buckets: int = 1 << 13,
+    ):
+        self.spark = spark
+        self.partitions = partitions
+        self.n_buckets = n_buckets
+        self.state: DataFrame = spark.createDataFrame([], _STATE_SCHEMA)
+        self._exact_parts: list[DataFrame] = []
+        self._pending_snapshot: list[DataFrame] = []
+        self._compact_at = 32
+
+    @property
+    def exact(self) -> DataFrame:
+        if not self._exact_parts:
+            return self.spark.createDataFrame([], "url string, pid int")
+        out = self._exact_parts[0]
+        for p in self._exact_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _keyed(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        u = F.col(url_col)
+        return df.withColumn("h1", F.xxhash64(u)).withColumn(
+            "h2", F.xxhash64(u, F.lit(0x9E3779B9))
+        ).withColumn(
+            "pid",
+            F.pmod(F.xxhash64(u, F.lit(7)), F.lit(self.partitions)).cast("int"),
+        )
+
+    def probe_new(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        base = candidates.select(F.col(url_col).alias("url"))
+        cand = self._keyed(base if assume_unique else base.distinct())
+        n_buckets, stash_cap, max_kicks = (
+            self.n_buckets, self.STASH_CAP, self.MAX_KICKS,
+        )
+
+        def unpack(blob):
+            return _cuckoo_unpack(blob, n_buckets)
+
+        pack = _cuckoo_pack
+
+        def fp_buckets(h1, h2):
+            return _cuckoo_fp_buckets(h1, h2, n_buckets)
+
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                if len(right) == 0:
+                    return pd.DataFrame(columns=list(_OUT_SCHEMA.names))
+                r = right.iloc[0]
+                return pd.DataFrame(
+                    [("state", int(r.pid), None, None, r.bitmap, int(r.n_keys))],
+                    columns=list(_OUT_SCHEMA.names),
+                )
+            pid = int(left["pid"].iloc[0])
+            if len(right):
+                table, stash = unpack(bytes(right["bitmap"].iloc[0]))
+                n_keys = int(right["n_keys"].iloc[0])
+            else:
+                table = np.zeros((n_buckets, 4), dtype=np.uint16)
+                stash = np.zeros(0, dtype=np.uint64)
+                n_keys = 0
+            h1 = left["h1"].to_numpy().astype(np.uint64)
+            h2 = left["h2"].to_numpy().astype(np.uint64)
+            fp, b1, b2 = fp_buckets(h1, h2)
+            # vectorized lookup: fp present in either bucket, or h1 in stash
+            in_b1 = (table[b1] == fp[:, None]).any(axis=1)
+            in_b2 = (table[b2] == fp[:, None]).any(axis=1)
+            in_stash = np.isin(h1, stash) if len(stash) else np.zeros(
+                len(h1), dtype=bool
+            )
+            maybe = in_b1 | in_b2 | in_stash
+            # insert the definitely-new keys (eviction chains are rare
+            # and bounded; everything else above is vectorized)
+            rng_state = 0x9E3779B97F4A7C15
+            stash_list = list(stash)
+            for i in np.flatnonzero(~maybe):
+                f, c1, c2 = int(fp[i]), int(b1[i]), int(b2[i])
+                placed = False
+                for b in (c1, c2):
+                    empty = np.flatnonzero(table[b] == 0)
+                    if len(empty):
+                        table[b, empty[0]] = f
+                        placed = True
+                        break
+                if not placed:
+                    b = c1
+                    for _ in range(max_kicks):
+                        rng_state = (rng_state * 6364136223846793005 + 1) % (1 << 64)
+                        slot = rng_state % 4
+                        f, table[b, slot] = int(table[b, slot]), f
+                        b = int(
+                            (np.uint64(b) ^ (np.uint64(0x5BD1E995) * np.uint64(f)))
+                            % np.uint64(n_buckets)
+                        )
+                        empty = np.flatnonzero(table[b] == 0)
+                        if len(empty):
+                            table[b, empty[0]] = f
+                            placed = True
+                            break
+                    if not placed:
+                        if len(stash_list) >= stash_cap:
+                            raise RuntimeError(
+                                f"cuckoo partition {pid} overfull "
+                                f"(n_keys={n_keys}); raise n_buckets"
+                            )
+                        stash_list.append(int(h1[i]))
+                n_keys += 1
+            out = pd.DataFrame(
+                {
+                    "kind": "url",
+                    "pid": pid,
+                    "url": left["url"].to_numpy(),
+                    "maybe_seen": maybe,
+                    "bitmap": None,
+                    "n_keys": None,
+                }
+            )
+            state_row = pd.DataFrame(
+                [(
+                    "state", pid, None, None,
+                    pack(table, np.array(stash_list, dtype=np.uint64)),
+                    n_keys,
+                )],
+                columns=list(_OUT_SCHEMA.names),
+            )
+            return pd.concat([out, state_row], ignore_index=True)
+
+        merged = (
+            cand.groupBy("pid")
+            .cogroup(self.state.groupBy("pid"))
+            .applyInPandas(fn, _OUT_SCHEMA)
+        ).localCheckpoint()
+        new_state = merged.where(F.col("kind") == "state").select(
+            "pid", "bitmap", "n_keys"
+        )
+        verdicts = merged.where(F.col("kind") == "url").select(
+            "url", "pid", "maybe_seen"
+        )
+        maybe = verdicts.where(F.col("maybe_seen"))
+        rescued = maybe.join(self.exact, ["url"], "left_anti").select(
+            "url", verdicts.pid
+        )
+        new_urls = (
+            verdicts.where(~F.col("maybe_seen"))
+            .select("url", "pid")
+            .unionByName(rescued)
+        ).localCheckpoint()
+        self._exact_parts.append(new_urls)
+        self._pending_snapshot.append(new_urls)
+        if len(self._exact_parts) >= self._compact_at:
+            self._exact_parts = [self.exact.localCheckpoint()]
+        self.state = new_state
+        return new_urls
+
+    def probe_and_insert(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        assume_unique: bool = False,
+    ) -> DataFrame:
+        new_urls = self.probe_new(candidates, url_col, assume_unique)
+        flags = new_urls.select(
+            F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
+        )
+        return candidates.join(
+            flags, candidates[url_col] == flags["__seen_url"], "left"
+        ).select(
+            candidates["*"], F.coalesce("was_new", F.lit(False)).alias("was_new")
+        )
+
+    def remove(self, urls: DataFrame, url_col: str = "url") -> None:
+        """Delete keys from the filter (the operation a bloom cannot do).
+        Clears one matching fingerprint slot per key, or the stash entry.
+        The exact audit table is history, not membership — it keeps its
+        rows (SnapshotCatalog appends are immutable)."""
+        cand = self._keyed(urls.select(F.col(url_col).alias("url")).distinct())
+        n_buckets = self.n_buckets
+
+        def unpack(blob):
+            return _cuckoo_unpack(blob, n_buckets)
+
+        pack = _cuckoo_pack
+
+        def fp_buckets(h1, h2):
+            return _cuckoo_fp_buckets(h1, h2, n_buckets)
+
+        def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(right) == 0:
+                return pd.DataFrame(columns=list(_STATE_SCHEMA.names))
+            r = right.iloc[0]
+            pid = int(r.pid)
+            table, stash = unpack(bytes(r.bitmap))
+            n_keys = int(r.n_keys)
+            if len(left):
+                h1 = left["h1"].to_numpy().astype(np.uint64)
+                h2 = left["h2"].to_numpy().astype(np.uint64)
+                fp, b1, b2 = fp_buckets(h1, h2)
+                stash_list = list(stash)
+                for i in range(len(h1)):
+                    removed = False
+                    for b in (int(b1[i]), int(b2[i])):
+                        hit = np.flatnonzero(table[b] == fp[i])
+                        if len(hit):
+                            table[b, hit[0]] = 0
+                            removed = True
+                            break
+                    if not removed and int(h1[i]) in stash_list:
+                        stash_list.remove(int(h1[i]))
+                        removed = True
+                    if removed:
+                        n_keys -= 1
+                stash = np.array(stash_list, dtype=np.uint64)
+            return pd.DataFrame(
+                [(pid, pack(table, stash), n_keys)],
+                columns=list(_STATE_SCHEMA.names),
+            )
+
+        self.state = (
+            cand.groupBy("pid")
+            .cogroup(self.state.groupBy("pid"))
+            .applyInPandas(fn, _STATE_SCHEMA)
+        ).localCheckpoint()
+
+    # snapshot / resume ------------------------------------------------------
+    def snapshot(self, catalog, prefix: str = "seen") -> None:
+        catalog.table(f"{prefix}_bloom").overwrite(self.state)
+        t = catalog.table(f"{prefix}_exact")
+        if self._pending_snapshot:
+            delta = self._pending_snapshot[0]
+            for p in self._pending_snapshot[1:]:
+                delta = delta.unionByName(p)
+            t.append(delta)
+            self._pending_snapshot = []
+        elif t.latest_version() is None:
+            t.append(self.exact)
+
+    def restore(self, catalog, prefix: str = "seen") -> None:
+        self.state = catalog.table(f"{prefix}_bloom").read().persist()
+        self._exact_parts = [catalog.table(f"{prefix}_exact").read().persist()]
         self._pending_snapshot = []

@@ -61,7 +61,11 @@ from snapcrawler_spark.operators.extract import (
 from snapcrawler_spark.operators.filters import image_pipeline
 from snapcrawler_spark.operators.order import dense_order_key
 from snapcrawler_spark.operators.politeness import adapt_budgets, select_wave
-from snapcrawler_spark.operators.seen import BloomSeenSet, ExactSeenSet
+from snapcrawler_spark.operators.seen import (
+    BloomSeenSet,
+    CuckooSeenSet,
+    ExactSeenSet,
+)
 
 _SEQ_WAVE_SHIFT = 44
 _SEQ_PID_SHIFT = 28
@@ -103,6 +107,10 @@ class WaveCrawl:
                 partitions=cfg.seen_partitions,
                 m_bits=1 << 17,
                 n_hashes=5,
+            )
+        elif seen_kind == "cuckoo":
+            self.seen = CuckooSeenSet(
+                spark, partitions=cfg.seen_partitions
             )
         else:
             self.seen = ExactSeenSet(spark)
