@@ -174,7 +174,10 @@ def generate_images(seed: int = 42, n: int = 200) -> tuple[pd.DataFrame, pd.Data
             elif r < 0.45:
                 dpi = int(rng.integers(90, 350))
             mode = "L" if gray else "RGB"
-            fmt = "png" if gray else ("bmp" if rng.random() < 0.25 else "png")
+            froll = rng.random()  # one draw, three buckets (stream-stable)
+            fmt = "png" if gray else (
+                "bmp" if froll < 0.25 else ("jpg" if froll < 0.45 else "png")
+            )
             pixel_cache.append((px, mode, dpi))
 
         if fmt == "bmp":
@@ -182,6 +185,20 @@ def generate_images(seed: int = 42, n: int = 200) -> tuple[pd.DataFrame, pd.Data
             if px.ndim == 2:  # BMP is RGB-only in our codec
                 px = np.stack([px] * 3, -1)
                 mode = "RGB"
+        elif fmt == "jpg":
+            # lossy: the stored pixel/phash ground truth is the DECODED
+            # round-trip (what any consumer of the bytes sees); the
+            # PSNR>=40dB vs the pre-encode source is pinned in
+            # tests/test_jpeg.py. Baseline JPEG carries no density → the
+            # dpi ground truth is None.
+            from snapcrawler_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+            if px.ndim == 2:
+                px = np.stack([px] * 3, -1)
+                mode = "RGB"
+            body = encode_jpeg(px, quality=98)
+            px = decode_jpeg(body)
+            dpi = None
         else:
             body = encode_png(px, dpi)
         hh, ww = px.shape[:2]

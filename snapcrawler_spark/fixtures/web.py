@@ -42,9 +42,10 @@ SCALES = {
     "m": dict(hosts=16, hot_pages=42000, norm_pages=4500, images=2000, html=False),
 }
 
-_EXTS = {"png": ".png", "bmp": ".bmp", "gif": ".gif", "svg": ".svg", "unknown": ".png"}
-_CTYPE = {"png": "image/png", "bmp": "image/bmp", "gif": "image/gif",
-          "svg": "image/svg+xml", "unknown": "image/png"}
+_EXTS = {"png": ".png", "bmp": ".bmp", "jpg": ".jpg", "gif": ".gif",
+         "svg": ".svg", "unknown": ".png"}
+_CTYPE = {"png": "image/png", "bmp": "image/bmp", "jpg": "image/jpeg",
+          "gif": "image/gif", "svg": "image/svg+xml", "unknown": "image/png"}
 
 
 def _md5(s: str) -> str:

@@ -205,4 +205,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, int | None]:
         return decode_bmp(data)
     if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from snapcrawler_spark.kernels.jpeg import decode_jpeg
+
+        px = decode_jpeg(data)
+        # baseline JPEG here carries no density segment → dpi None
+        return px, ("L" if px.ndim == 2 else "RGB"), None
     raise ValueError("undecodable image payload")
