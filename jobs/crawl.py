@@ -4,9 +4,9 @@
     zip -r engine.zip snapcrawler_spark
     spark-submit --py-files engine.zip jobs/crawl.py \
         --web /path/to/web_tables --out /path/to/catalog \
-        [--mode wave|strict] [--seen bloom|exact] [--resume] \
+        [--mode wave|strict] [--seen bloom|cuckoo|exact] [--resume] \
         [--max-depth 5] [--max-requests 0] [--host-budget 64] \
-        [--dedup] [--robots] [--max-waves 64]
+        [--dedup] [--robots] [--adaptive] [--max-waves 64]
 
 On a cluster the master/executor topology comes from spark-submit; the
 session builder only sets SQL/AQE knobs. The crawl checkpoints every
@@ -29,7 +29,9 @@ def main() -> None:
     ap.add_argument("--web", required=True, help="dir of fixture parquet tables")
     ap.add_argument("--out", required=True, help="snapshot catalog root")
     ap.add_argument("--mode", default="wave", choices=["wave", "strict"])
-    ap.add_argument("--seen", default="bloom", choices=["bloom", "exact"])
+    ap.add_argument(
+        "--seen", default="bloom", choices=["bloom", "cuckoo", "exact"]
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-depth", type=int, default=5)
     ap.add_argument("--max-requests", type=int, default=0)
@@ -37,6 +39,10 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=64)
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--robots", action="store_true")
+    ap.add_argument(
+        "--adaptive", action="store_true",
+        help="per-host adaptive politeness budgets (needs --host-budget>0)",
+    )
     args = ap.parse_args()
 
     from snapcrawler_spark.catalog import SnapshotCatalog
@@ -55,7 +61,10 @@ def main() -> None:
         deduplication=args.dedup,
         min_side_size=64,
         formats=("jpg", "jpeg", "png", "webp", "bmp"),
-        extra={"robots_enabled": args.robots} if args.robots else {},
+        extra={
+            **({"robots_enabled": True} if args.robots else {}),
+            **({"adaptive_politeness": True} if args.adaptive else {}),
+        },
     )
     catalog = SnapshotCatalog(spark, args.out)
 
@@ -87,9 +96,11 @@ def main() -> None:
             accepted=run["accepted"].count(),
             rejected=run["rejections"].count(),
             metrics=[vars(m) for m in run["metrics"]],
+            stats=wc.stats(),
         )
         catalog.table("accepted").overwrite(run["accepted"])
         catalog.table("rejections").overwrite(run["rejections"])
+        catalog.table("fetch_tally_final").overwrite(run["fetch_tally"])
     print(json.dumps(out))
 
 
