@@ -432,6 +432,81 @@ _LANG_SCORES = ", ".join(
 _H60 = "cast(('0x' || substr(md5({x}), 1, 15)) as bigint)"
 
 
+def _ann_ivf_oracle() -> str:
+    """Generated unrolled-Lloyd oracle for ann_ivf.
+
+    The Spark side trains k-means on the driver (pipeline/ann.py
+    ``_lloyd_fixed_point``: bounded sample, fixed-point centroid
+    updates); the same fixed iteration count unrolls here as a CTE
+    chain, and the integer centroid arithmetic (exact int64 sums,
+    floor-divide) makes the two engines' centroids bit-identical — so
+    the assignment + probe + cosine top-k downstream hash-match."""
+    stride = _ann.KMEANS_SAMPLE_STRIDE
+    cap = _ann.KMEANS_SAMPLE_CAP
+    k = _ann.N_CELLS
+    iters = _ann.KMEANS_ITERS
+    q = _ann.KMEANS_Q
+    n_probe = _ann.N_PROBE
+    qs = _ann.QUERY_STRIDE
+    topk = _ann.TOP_K
+    ctes = [
+        "e AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM e WHERE vec_id % {stride} = 0"
+        f" ORDER BY vec_id LIMIT {cap})",
+        "sq AS (SELECT vec_id, v, list_transform(v, x -> cast(floor(x *"
+        f" {q}) as bigint)) AS vq FROM samp)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+        f" list_transform(vq, qq -> cast(qq as double) / {q}.0) AS cv"
+        f" FROM (SELECT vec_id, vq FROM sq ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(iters):
+        ctes += [
+            # assignment: nearest centroid (ties → lowest cell)
+            f"a{t} AS (SELECT vec_id, vq, cell FROM ("
+            " SELECT s.vec_id, s.vq, c.cell,"
+            " row_number() OVER (PARTITION BY s.vec_id"
+            " ORDER BY list_distance(s.v, c.cv), c.cell) AS rk"
+            f" FROM sq s CROSS JOIN c{t} c) WHERE rk = 1)",
+            # per-(cell, dim) exact integer sums → floor-divided mean
+            f"s{t} AS (SELECT cell, dim,"
+            " cast(floor(cast(sum(vq[dim]) as double) / count(*))"
+            " as bigint) AS qd"
+            f" FROM a{t}, unnest(range(1, len(vq) + 1)) AS u(dim)"
+            " GROUP BY cell, dim)",
+            f"n{t} AS (SELECT cell, list(qd ORDER BY dim) AS cq"
+            f" FROM s{t} GROUP BY cell)",
+            # empty cells keep their previous centroid
+            f"c{t + 1} AS (SELECT p.cell, coalesce("
+            f" list_transform(n.cq, qq -> cast(qq as double) / {q}.0),"
+            f" p.cv) AS cv FROM c{t} p LEFT JOIN n{t} n"
+            " ON p.cell = n.cell)",
+        ]
+    ctes += [
+        "wc AS (SELECT e.vec_id, e.v, c.cell,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY list_distance(e.v, c.cv), c.cell) AS rk"
+        f" FROM e CROSS JOIN c{iters} c)",
+        "assigned AS (SELECT vec_id, v, cell FROM wc WHERE rk = 1)",
+        "probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM wc"
+        f" WHERE vec_id % {qs} = 0 AND rk <= {n_probe})",
+        "cand AS (SELECT query_id, a.vec_id AS nn_id, qv, a.v AS v"
+        " FROM probes JOIN assigned a ON probes.cell = a.cell"
+        " AND a.vec_id <> probes.query_id)",
+        "scored AS (SELECT DISTINCT query_id, nn_id,"
+        " cast(floor((list_dot_product(qv, v) /"
+        " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))))"
+        " * 1000000) as bigint) AS cosine_e6 FROM cand)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, nn_id, cosine_e6, rank FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine_e6 DESC, nn_id) AS rank FROM scored) t"
+        f" WHERE rank <= {topk} ORDER BY query_id, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     nm = _dedup.N_MINHASH
     rpb = _dedup.N_MINHASH // _dedup.LSH_BANDS
@@ -822,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5
             ORDER BY query_id, rank
         """,
+        "ann_ivf": _ann_ivf_oracle(),
         "embedding_norm_stats": """
             WITH e AS (
               SELECT label, sqrt(list_dot_product(cast(embedding as DOUBLE[]),

@@ -72,8 +72,12 @@ def _ensure_web_fixture(scale: str) -> str:
 def crawl_throughput(spark, web_root: str) -> dict:
     """Run the wave crawl; return throughput numbers.
 
-    Metric: (fetch attempts + candidate URLs probed through the bloom
-    seen-set) per second of crawl wall time — 'URLs fetched+deduped/s'.
+    PINNED headline metric (BENCH/notes.md "Metric definition"):
+    urls_per_sec = (fetch attempts + unique URLs admitted through the
+    seen-set) / crawl wall-seconds. The round-1 numerator (fetch
+    attempts + per-wave candidates probed, a strictly larger count that
+    includes already-seen re-probes) rides along as
+    urls_per_sec_legacy so the cross-round series stays comparable.
     """
     from snapcrawler_spark.conf import CrawlConfig
     from snapcrawler_spark.io import read_fixture_parquet
@@ -97,24 +101,28 @@ def crawl_throughput(spark, web_root: str) -> dict:
         extra={"hot_threshold": 4000},
     )
     t0 = time.time()
-    wc = WaveCrawl(spark, tables, cfg, seen_kind="bloom", collect_metrics=False)
+    wc = WaveCrawl(
+        spark, tables, cfg, seen_kind="bloom", collect_metrics=False,
+        count_candidates=True,
+    )
     run = wc.run(max_waves=64)
     n_accepted = run["accepted"].count()  # forces the image pipeline too
     secs = time.time() - t0
     fetched = run["total_fetched"]
-    # URLs deduped = unique URLs admitted through the seen-set probe
-    # (counted once at the end from the checkpointed exact table — the
-    # per-wave candidate counts are disabled in bench mode to keep the
-    # wave loop at its minimum driver-action count)
-    probed = run["seen"].exact.count()
-    urls = fetched + probed
+    # pinned numerator: unique URLs admitted through the seen-set probe
+    # (counted once at the end from the checkpointed exact table)
+    uniques = run["seen"].exact.count()
+    # legacy (round-1) numerator: every candidate probed, incl. re-probes
+    candidates = run["total_candidates"]
     return dict(
         crawl_secs=round(secs, 2),
         fetched=fetched,
-        candidates_probed=probed,
+        unique_urls=uniques,
+        candidates_probed=candidates,
         accepted=n_accepted,
         waves=run["waves"],
-        urls_per_sec=round(urls / secs, 1),
+        urls_per_sec=round((fetched + uniques) / secs, 1),
+        urls_per_sec_legacy=round((fetched + candidates) / secs, 1),
     )
 
 
@@ -279,7 +287,7 @@ def main() -> None:
                 "|---|---|---|---|---|---|\n"
                 + "".join(
                     f"| local[{c}] | {r['crawl_secs']} | {r['fetched']} | "
-                    f"{r['candidates_probed']} | {r['waves']} | "
+                    f"{r['unique_urls']} | {r['waves']} | "
                     f"{r['urls_per_sec']} |\n"
                     for c, r in results.items()
                 )

@@ -45,6 +45,12 @@ class CrawlConfig:
     aspect_ratio_max: float = 3.0
     deduplication: bool = False   # config.yaml:15 ships false (code default True)
     watermark_enabled: bool = False
+    # banner/logo filter (pipelines.py:240-252 _is_valid_aspect_ratio):
+    # extreme aspect ratios (>10 or <0.1) reject as 'banner_logo' when
+    # False. Defaults True = filter OFF, matching the reference's
+    # .get('allow_logos_banners', True) AND the parallel-mode chain,
+    # which never calls the check (SURVEY §7.3.5 parity).
+    allow_logos_banners: bool = True
 
     # limits (config.yaml:221-224)
     max_images: int = 0           # 0 = unlimited

@@ -4,7 +4,8 @@ Tables returned (all pandas; the engine loads them as Spark DataFrames,
 the oracle walks them in Python):
 
 - ``pages``: url, host, status, html (nullable at scale m), content_md5
-- ``links``: src_url, link_idx, href_raw, dst_url (absolute ground truth)
+- ``links``: src_url, link_idx, href_raw, dst_url (absolute ground
+  truth), anchor_text (rendered link text — ML navigation relevance)
 - ``page_items``: src_url, item_idx, channel, url — raw extraction-channel
   occurrences in document order; channels mirror extract_images at
   crawling_module.py:264-318 (img src / data-src / data-lazy-src,
@@ -50,6 +51,21 @@ _CTYPE = {"png": "image/png", "bmp": "image/bmp", "jpg": "image/jpeg",
 
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# anchor-text vocabulary: ~30% of anchors carry navigation-flavored text
+# (ML relevance coverage, navigation_module.py:302-308 +0.4 text term);
+# the rest are neutral. Chosen by a stable hash so adding this column
+# perturbs no pre-existing RNG draw.
+_ANCHOR_TEXTS = (
+    "Gallery", "Photo archive", "More images",
+    "Category index", "Old archive", "next page",
+)
+
+
+def _anchor_text(url: str, li: int) -> str:
+    sel = _stable_hash(f"{url}#a{li}") % 20
+    return _ANCHOR_TEXTS[sel] if sel < len(_ANCHOR_TEXTS) else f"l{li}"
 
 
 def _stable_hash(s: str) -> int:
@@ -172,8 +188,9 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                 if dst.startswith(f"https://{host}/") and rng.random() < 0.3:
                     href = dst[len(f"https://{host}") :]  # relative form
                 abs_dst = urljoin(url, href)
-                link_rows.append((url, li, href, abs_dst))
-                html_parts.append(f'<a href="{href}">l{li}</a>')
+                atext = _anchor_text(url, li)
+                link_rows.append((url, li, href, abs_dst, atext))
+                html_parts.append(f'<a href="{href}">{atext}</a>')
 
             # --- image items per extraction channel
             n_imgs = int(rng.integers(0, 5)) if status == 200 else int(rng.integers(0, 5))
@@ -267,6 +284,32 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                         html_parts.append(
                             f'<style>.c{item_idx}{{background:url("{iurl}")}}</style>'
                         )
+            # bare-string ajax sweep coverage (middlewares.py:245-257):
+            # an image URL appearing ONLY as an un-keyed JSON array
+            # element inside a <script> blob. Independent generator so
+            # every pre-existing fixture draw stays byte-identical.
+            arng = np.random.Generator(
+                np.random.PCG64(seed * 600_011 + _stable_hash(url))
+            )
+            if arng.random() < 0.12:
+                iid = image_ids[int(arng.integers(0, len(image_ids)))]
+                aurl = _mk_image_url(arng, host, iid, image_fmt[iid])
+                for _ in range(4):
+                    # FilePath URLs are extensionless — the reference's
+                    # is_image_url substring check would skip them, so
+                    # they can't be sweep-only fixture rows
+                    if "/wiki/Special:FilePath/" not in aurl:
+                        break
+                    aurl = _mk_image_url(arng, host, iid, image_fmt[iid])
+                if "/wiki/Special:FilePath/" not in aurl:
+                    if aurl not in fetch_map:
+                        fetch_map[aurl] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    item_rows.append((url, item_idx, "ajax_list", aurl))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<script>var g = {{"gallery": ["{aurl}"], '
+                        f'"page": 1}};</script>'
+                    )
             if with_html:
                 html_parts.append("</body></html>")
                 html = "".join(html_parts)
@@ -305,7 +348,10 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
     rng = np.random.Generator(np.random.PCG64(seed * 31337))
     n_pages = len(pages)
     dup_idx = rng.choice(n_pages, size=max(1, n_pages // 20), replace=False)
-    links = pd.DataFrame(link_rows, columns=["src_url", "link_idx", "href_raw", "dst_url"])
+    links = pd.DataFrame(
+        link_rows,
+        columns=["src_url", "link_idx", "href_raw", "dst_url", "anchor_text"],
+    )
     items = pd.DataFrame(item_rows, columns=["src_url", "item_idx", "channel", "url"])
     # twin must share the host: hrefs are root-relative, so same-host
     # twins resolve to identical absolute links — MD5-dedup winners are
@@ -354,20 +400,48 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
         [(u, i, s, c) for u, (i, s, c) in fetch_map.items()],
         columns=["image_url", "image_id", "status", "content_type"],
     )
+    # sitemap advertisement: every 4th host has one; every 8th host's
+    # sitemap is INDEX-rooted (<sitemapindex> → child urlsets), the
+    # dominant real-world layout (navigation_module.py:178-186)
+    def _advertised(k: int, h: str) -> list[str]:
+        if k % 8 == 0:
+            return [f"https://{h}/sitemap_index.xml"]
+        if k % 4 == 0:
+            return [f"https://{h}/sitemap.xml"]
+        return []
+
     robots = pd.DataFrame(
         [
             (h, ["/p/private"] if k % 2 == 0 else [],
-             float(1 + (k % 3)), [f"https://{h}/sitemap.xml"] if k % 4 == 0 else [])
+             float(1 + (k % 3)), _advertised(k, h))
             for k, h in enumerate(hosts)
         ],
         columns=["host", "disallow_prefixes", "crawl_delay", "sitemap_urls"],
     )
+    # robots.txt text bodies: the reference discovers sitemaps from
+    # 'Sitemap:' lines (navigation_module.py:211-225)
+    robots["robots_txt"] = [
+        "User-agent: *\n"
+        + "".join(f"Disallow: {p}\n" for p in dis)
+        + "".join(f"Sitemap: {s}\n" for s in sms)
+        for dis, sms in zip(robots["disallow_prefixes"], robots["sitemap_urls"])
+    ]
     seeds_df = pd.DataFrame(
         [(f"https://{h}/", i) for i, h in enumerate(hosts)],
         columns=["seed_url", "seed_idx"],
     )
     # sitemap XML bodies for hosts that advertise one (sitemap feeder,
-    # navigation_module.py:147-225): lists a sample of the host's pages
+    # navigation_module.py:147-225): lists a sample of the host's pages.
+    # Index-rooted hosts (k % 8 == 0) get a <sitemapindex> pointing to
+    # TWO child urlsets (sitemap.xml + sitemap2.xml).
+    def _urlset(pages_h: list[str], picks: list[int]) -> str:
+        entries = "".join(
+            f"<url><loc>{pages_h[j]}</loc><priority>0.{5 + j % 5}</priority>"
+            f"<changefreq>daily</changefreq></url>"
+            for j in picks
+        )
+        return f'<?xml version="1.0"?><urlset>{entries}</urlset>'
+
     sm_rows = []
     for k, h in enumerate(hosts):
         if k % 4 != 0:
@@ -377,15 +451,34 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
         picks = sorted(
             {int(x) for x in srng.integers(0, len(pages_h), size=min(10, len(pages_h)))}
         )
-        entries = "".join(
-            f"<url><loc>{pages_h[j]}</loc><priority>0.{5 + j % 5}</priority>"
-            f"<changefreq>daily</changefreq></url>"
-            for j in picks
-        )
         sm_rows.append(
-            (f"https://{h}/sitemap.xml", h,
-             f'<?xml version="1.0"?><urlset>{entries}</urlset>')
+            (f"https://{h}/sitemap.xml", h, _urlset(pages_h, picks))
         )
+        if k % 8 == 0:
+            srng2 = np.random.Generator(np.random.PCG64(seed * 911_911 + k))
+            picks2 = sorted(
+                {
+                    int(x)
+                    for x in srng2.integers(
+                        0, len(pages_h), size=min(10, len(pages_h))
+                    )
+                }
+            )
+            sm_rows.append(
+                (f"https://{h}/sitemap2.xml", h, _urlset(pages_h, picks2))
+            )
+            children = "".join(
+                f"<sitemap><loc>https://{h}/{c}</loc></sitemap>"
+                for c in ("sitemap.xml", "sitemap2.xml")
+            )
+            sm_rows.append(
+                (
+                    f"https://{h}/sitemap_index.xml",
+                    h,
+                    f'<?xml version="1.0"?><sitemapindex>{children}'
+                    "</sitemapindex>",
+                )
+            )
     sitemaps = pd.DataFrame(sm_rows, columns=["sitemap_url", "host", "xml"])
     links = links.sort_values(["src_url", "link_idx"]).reset_index(drop=True)
     items = items.sort_values(["src_url", "item_idx"]).reset_index(drop=True)

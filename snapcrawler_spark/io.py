@@ -23,6 +23,7 @@ SCHEMAS = {
             T.StructField("link_idx", T.IntegerType(), False),
             T.StructField("href_raw", T.StringType(), False),
             T.StructField("dst_url", T.StringType(), False),
+            T.StructField("anchor_text", T.StringType(), True),
         ]
     ),
     "page_items": T.StructType(
@@ -58,6 +59,7 @@ SCHEMAS = {
             T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
             T.StructField("crawl_delay", T.DoubleType(), False),
             T.StructField("sitemap_urls", T.ArrayType(T.StringType()), False),
+            T.StructField("robots_txt", T.StringType(), True),
         ]
     ),
     "seeds": T.StructType(

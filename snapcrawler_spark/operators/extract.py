@@ -230,6 +230,27 @@ def extract_from_html(
             ),
             1,
         ).alias("c_ajax"),
+        # bare-string sweep (middlewares.py:245-257): the recursive JSON
+        # walk also harvests string VALUES that look like image URLs
+        # regardless of key (un-keyed array elements like
+        # {"gallery": ["https://…/a.jpg"]}); is_image_url there is a
+        # substring extension check on http(s) strings, mirrored here as
+        # one regexp over every <script> body
+        F.flatten(
+            F.transform(
+                F.regexp_extract_all(
+                    h, F.lit(r"<script[^>]*>(.*?)</script>"), 1
+                ),
+                lambda b: F.regexp_extract_all(
+                    b,
+                    F.lit(
+                        r'"(https?://[^"]*(?i:\.(?:jpg|jpeg|png|gif'
+                        r'|webp|svg|bmp))[^"]*)"'
+                    ),
+                    1,
+                ),
+            )
+        ).alias("c_ajaxsweep"),
         # JSON-LD structured data (image_spider.py:211-219): the recursive
         # walk keeps exactly the string values that look like image URLs,
         # which equals a flat scan for quoted http(s) URLs inside the
@@ -260,11 +281,11 @@ def extract_from_html(
     )
     # absolutize each channel against the page URL
     for c in ["c_src", "c_lazy", "c_file", "c_css", "c_srcset", "c_ajax",
-              "c_jsonld", "c_databg", "c_pa", "c_a"]:
+              "c_ajaxsweep", "c_jsonld", "c_databg", "c_pa", "c_a"]:
         raw = raw.withColumn(c, _urljoin_udf(F.col("url"), F.col(c)))
 
     non_anchor = F.concat("c_src", "c_lazy", "c_file", "c_css", "c_srcset",
-                          "c_ajax", "c_jsonld", "c_databg")
+                          "c_ajax", "c_ajaxsweep", "c_jsonld", "c_databg")
     img_from_any = F.array_union(
         F.filter(non_anchor, lambda u: valid_image_url_col(u, cfg)),
         F.filter(F.col("c_pa"), lambda u: valid_image_url_col(u, cfg)),

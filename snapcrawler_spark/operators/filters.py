@@ -19,8 +19,8 @@ plan:
 
 Reject-reason vocabulary matches the oracle:
 http_error, non_image_content_type, svg_unsupported, decode_error,
-size, format, dpi, color, orientation, aspect, duplicate_phash,
-watermark.
+size, format, dpi, color, orientation, aspect, banner_logo,
+duplicate_phash, watermark.
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ from snapcrawler_spark.operators.extract import url_ext_col
 
 
 _CAP_BUCKET = 4096  # accepted rows per cap bucket (see _cap_boundary)
+_CAP_SUPER = 4096   # buckets per super-bucket (two-level prefix scan)
 
 
 def _cap_boundary(df: DataFrame, cfg: CrawlConfig) -> int | None:
@@ -43,37 +44,55 @@ def _cap_boundary(df: DataFrame, cfg: CrawlConfig) -> int | None:
     Matches the sequential consumer break at filtering_module.py:121-129
     (the item reaching the cap is the last one processed). The naive
     plan — row_number + running sum over ``Window.orderBy(item_seq)`` —
-    moves every accepted row to one partition; instead:
+    moves every accepted row to one partition; instead a TWO-LEVEL
+    distributed prefix scan:
 
-    1. partial counts/byte-sums per item_seq bucket (one shuffle-on-key
-       aggregation, partition-parallel);
-    2. prefix-scan the bucket partials on the driver (≤ max_seq/4096
-       tiny rows) to locate the single crossing bucket;
+    1. partial counts/byte-sums per SUPER-bucket (2^24 item_seq values
+       each; one shuffle-on-key aggregation) — the driver prefix-scans
+       ≤ max_seq/2^24 rows (≤ ~600 rows even at 10^10 items) to find
+       the single crossing super-bucket;
+    2. partials per 4096-item bucket *within that super-bucket only*
+       (≤ 4096 rows to the driver) → crossing bucket;
     3. pull only that bucket's rows (≤ 4096) and walk to the exact
        boundary.
-    """
+
+    Driver memory is therefore O(max_seq / 2^24 + 4096 + 4096) at any
+    item count — flat in practice, never O(accepted)."""
     acc = df.where(F.col("reason").isNull()).select("item_seq", "n_bytes")
-    bucket_stats = sorted(
-        acc.groupBy((F.col("item_seq") / _CAP_BUCKET).cast("long").alias("b"))
+    span = _CAP_BUCKET * _CAP_SUPER
+
+    def _scan(partials, cum_n, cum_b):
+        """Prefix-scan sorted (key, n, nb) rows; return (crossing key,
+        cum before it) or (None, cum after all)."""
+        for r in partials:
+            nxt_n, nxt_b = cum_n + r.n, cum_b + (r.nb or 0)
+            if (cfg.max_images > 0 and nxt_n >= cfg.max_images) or (
+                cfg.max_folder_bytes > 0 and nxt_b >= cfg.max_folder_bytes
+            ):
+                return r.k, cum_n, cum_b
+            cum_n, cum_b = nxt_n, nxt_b
+        return None, cum_n, cum_b
+
+    supers = sorted(
+        acc.groupBy((F.col("item_seq") / span).cast("long").alias("k"))
         .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("nb"))
         .collect(),
-        key=lambda r: r.b,
+        key=lambda r: r.k,
     )
-    cum_n = 0
-    cum_b = 0
-    crossing = None
-    for r in bucket_stats:
-        nxt_n, nxt_b = cum_n + r.n, cum_b + (r.nb or 0)
-        if (cfg.max_images > 0 and nxt_n >= cfg.max_images) or (
-            cfg.max_folder_bytes > 0 and nxt_b >= cfg.max_folder_bytes
-        ):
-            crossing = r.b
-            break
-        cum_n, cum_b = nxt_n, nxt_b
-    if crossing is None:
+    s_cross, cum_n, cum_b = _scan(supers, 0, 0)
+    if s_cross is None:
         return None
+    buckets = sorted(
+        acc.where((F.col("item_seq") / span).cast("long") == s_cross)
+        .groupBy((F.col("item_seq") / _CAP_BUCKET).cast("long").alias("k"))
+        .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("nb"))
+        .collect(),
+        key=lambda r: r.k,
+    )
+    b_cross, cum_n, cum_b = _scan(buckets, cum_n, cum_b)
+    assert b_cross is not None, "crossing super-bucket did not cross"
     rows = sorted(
-        acc.where((F.col("item_seq") / _CAP_BUCKET).cast("long") == crossing)
+        acc.where((F.col("item_seq") / _CAP_BUCKET).cast("long") == b_cross)
         .collect(),
         key=lambda r: r.item_seq,
     )
@@ -174,6 +193,12 @@ def image_pipeline(
     if cfg.aspect_ratio_max > 0:
         meta_reason = meta_reason.when(
             ratio > cfg.aspect_ratio_max, F.lit("aspect")
+        )
+    if not cfg.allow_logos_banners:
+        # banner/logo gate (pipelines.py:240-252): very wide (>10:1) or
+        # very tall (<1:10) images are typical banners/logos
+        meta_reason = meta_reason.when(
+            (ratio > 10) | (ratio < 0.1), F.lit("banner_logo")
         )
 
     df = df.withColumn("reason", F.coalesce(F.col("pre_reason"), meta_reason))

@@ -15,11 +15,11 @@ Relational mirror of the reference's navigation module
   pattern (:415), ≤10 ML-discovery links (:392), de-duplicated, ≤20
   requests total per page (:404).
 - ML link relevance ← MLNavigationDiscovery._analyze_link (:289-318):
-  +0.3 for a link-class pattern hit in the URL, +0.3 for an
-  image-indicator hit; links with relevance > 0.5 qualify (the
-  reference's +0.4 anchor-text term needs rendered text, which the
-  links table does not carry — scored from the URL only, documented
-  deviation).
+  +0.3 per link-class family matching the URL, +0.4 per family
+  matching the anchor text, +0.3 once for an image-indicator hit in
+  URL + ' ' + text, capped at 1.0; links with relevance > 0.5 qualify.
+  The links table carries ``anchor_text`` since round 3; when the
+  column is absent the text terms are simply zero (URL-only scoring).
 
 Every window below partitions by the page URL — no global sorts; at
 crawl scale the per-page group is bounded by the page's own link count.
@@ -131,17 +131,25 @@ def detect_patterns(pages: DataFrame) -> DataFrame:
     )
 
 
-def ml_link_relevance(dst: Column) -> Column:
-    """URL-only relevance score (e4-scaled): +0.3 link-class hit,
-    +0.3 image-indicator hit (_analyze_link :289-318)."""
+def ml_link_relevance(dst: Column, anchor_text: Column | None = None) -> Column:
+    """Relevance score (e4-scaled), mirroring _analyze_link :289-318:
+    +0.3 PER link-class family matching the URL, +0.4 PER family
+    matching the anchor text, +0.3 once for an image-indicator hit in
+    URL + ' ' + text; min(total, 1.0)."""
     low = F.lower(dst)
-    class_hit = F.lit(False)
+    txt = F.lower(
+        F.coalesce(
+            anchor_text if anchor_text is not None else F.lit(""), F.lit("")
+        )
+    )
+    rel = F.lit(0)
     for pat in ML_LINK_CLASSES.values():
-        class_hit = class_hit | low.rlike(pat)
-    ind_hit = low.rlike(ML_IMAGE_INDICATORS)
-    return (
-        class_hit.cast("int") * 3000 + ind_hit.cast("int") * 3000
-    ).cast("long")
+        rel = rel + low.rlike(pat).cast("int") * 3000
+    for pat in ML_LINK_CLASSES.values():
+        rel = rel + txt.rlike(pat).cast("int") * 4000
+    ind_hit = F.concat(low, F.lit(" "), txt).rlike(ML_IMAGE_INDICATORS)
+    rel = rel + ind_hit.cast("int") * 3000
+    return F.least(rel, F.lit(10000)).cast("long")
 
 
 def navigation_requests(
@@ -186,8 +194,13 @@ def navigation_requests(
     )
 
     # ML-discovery requests: relevance > 0.5, ≤10 per page
+    text_col = (
+        F.col("anchor_text")
+        if "anchor_text" in links.columns
+        else F.lit("")
+    )
     ml = links.withColumn(
-        "rel_e4", ml_link_relevance(F.col("dst_url"))
+        "rel_e4", ml_link_relevance(F.col("dst_url"), text_col)
     ).where(F.col("rel_e4") > 5000)
     w_ml = Window.partitionBy("src_url").orderBy("link_idx")
     ml = (

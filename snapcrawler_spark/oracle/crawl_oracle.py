@@ -354,6 +354,10 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         ):
             res.rejections.append((item_seq_, iurl, "aspect"))
             continue
+        if not cfg.allow_logos_banners and (ratio > 10 or ratio < 0.1):
+            # banner/logo gate (pipelines.py:240-252)
+            res.rejections.append((item_seq_, iurl, "banner_logo"))
+            continue
         if cfg.deduplication:
             if m["phash"] in phash_seen:
                 res.rejections.append((item_seq_, iurl, "duplicate_phash"))

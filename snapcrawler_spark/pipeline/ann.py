@@ -182,7 +182,63 @@ N_CELLS = 16
 N_PROBE = 4  # scans 1/4 of the corpus for ~0.68 recall@5 on random-ish
              # embeddings (clustered real embeddings fare far better)
 KMEANS_ITERS = 5
-KMEANS_SAMPLE_STRIDE = 1  # sample vec_id % stride == 0 for training
+KMEANS_SAMPLE_STRIDE = 1   # sample vec_id % stride == 0 for training
+KMEANS_SAMPLE_CAP = 4096   # HARD bound on driver-collected training rows
+KMEANS_Q = 1_000_000       # fixed-point scale for centroid coordinates
+
+
+def _training_sample(
+    emb: DataFrame, sample_stride: int, cap: int = KMEANS_SAMPLE_CAP
+):
+    """Bounded, deterministic k-means training sample as an ndarray.
+
+    ``WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT cap`` — at most
+    ``cap`` rows reach the driver at ANY corpus size (the limit is the
+    bound; the stride is a spread knob for production corpora where the
+    first ``cap`` ids would be one shard)."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") % sample_stride == 0)
+        .orderBy("vec_id")
+        .limit(cap)
+        .select("v")
+        .collect()
+    )
+    assert len(rows) <= cap, f"training sample {len(rows)} > cap {cap}"
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
+def _lloyd_fixed_point(pts, n_cells: int, iters: int) -> list[list[float]]:
+    """Deterministic Lloyd k-means with FIXED-POINT centroid updates.
+
+    Every centroid coordinate lives on the 1e-6 grid: init = the first
+    n_cells sample vectors quantized (floor(x·1e6)), update =
+    floor(Σ quantized / n) where the Σ is an exact int64 sum. Integer
+    sums are order-independent, so the DuckDB oracle's unrolled-Lloyd
+    SQL (which sums in whatever order its parallel aggregation picks)
+    reproduces these centroids bit-for-bit — the float `mean()` of
+    textbook Lloyd would differ across engines by summation order.
+    Assignment distances stay in doubles (both engines compute them from
+    bitwise-identical centroid and point values)."""
+    import numpy as np
+
+    q = np.floor(pts * KMEANS_Q).astype(np.int64)
+    k = min(n_cells, len(q))
+    cq = q[:k].copy()
+    for _ in range(iters):
+        c = cq.astype(np.float64) / KMEANS_Q
+        d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties → lowest cell, like ORDER BY cell
+        for cell in range(k):
+            sel = q[assign == cell]
+            if len(sel):
+                s = sel.sum(axis=0)  # exact int64 — no overflow: |coord
+                # quantized| ≲ 1e8, cap 4096 rows → |Σ| ≲ 4e11 « 2^63
+                cq[cell] = np.floor(
+                    s.astype(np.float64) / len(sel)
+                ).astype(np.int64)
+    return [[float(x) / KMEANS_Q for x in row] for row in cq]
 
 
 def _train_centroids(
@@ -190,29 +246,14 @@ def _train_centroids(
 ) -> list[list[float]]:
     """Deterministic driver-side Lloyd k-means over a bounded sample.
 
-    Centroids are metadata (n_cells × dim floats), so training them on
-    the driver is legitimate at any corpus scale — the SAMPLE is bounded
-    by the stride, the init is the first n_cells vectors by vec_id, and
-    iteration count is fixed, so the result is reproducible."""
-    import numpy as np
-
-    rows = (
-        emb.where(F.col("vec_id") % sample_stride == 0)
-        .orderBy("vec_id")
-        .select("v")
-        .collect()
+    Centroids are metadata (n_cells × dim floats): training collects at
+    most KMEANS_SAMPLE_CAP rows (``_training_sample``) regardless of
+    corpus size, and the fixed-point update rule makes the result
+    engine-portable (``_lloyd_fixed_point``) — the DuckDB gate oracle
+    re-derives the same centroids in SQL."""
+    return _lloyd_fixed_point(
+        _training_sample(emb, sample_stride), n_cells, iters
     )
-    pts = np.array([r.v for r in rows], dtype=np.float64)
-    k = min(n_cells, len(pts))
-    centers = pts[:k].copy()
-    for _ in range(iters):
-        d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(k):
-            sel = pts[assign == c]
-            if len(sel):
-                centers[c] = sel.mean(axis=0)
-    return [list(map(float, c)) for c in centers]
 
 
 def ann_ivf(
@@ -225,10 +266,11 @@ def ann_ivf(
     """IVF (inverted-file) ANN: corpus vectors are assigned to their
     nearest k-means cell; a query scans only its n_probe nearest cells.
 
-    The iterative k-means training is not SQL-expressible, so this op
-    has no DuckDB oracle (rows-only driver check); its correctness hook
-    is the pytest property recall(n_probe = n_cells) == 1.0 vs the
-    brute-force baseline, plus recall floors at partial probes."""
+    Full DuckDB oracle: the fixed-iteration, fixed-point Lloyd training
+    is SQL-expressible as an unrolled CTE chain (__spark_entry__.py
+    generates it), so the driver gate hash-checks this op end to end.
+    The pytest properties (recall(n_probe = n_cells) == 1.0 vs brute
+    force, partial-probe recall floor) remain as semantic checks."""
     emb = _emb(spark, sf_dir).persist()
     centers = _train_centroids(
         emb, n_cells, KMEANS_ITERS, KMEANS_SAMPLE_STRIDE

@@ -208,26 +208,34 @@ def dedup_minhash_lsh(
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 60-bit sign-aggregated fingerprint (all 60
     meaningful bits of _hash60 — 32 bits saturates with random
-    collisions at 10^10 docs)."""
+    collisions at 10^10 docs).
+
+    The per-bit ±1 tallies are 60 conditional SUM expressions inside ONE
+    ``groupBy(doc_id)`` — bit-sliced aggregation with map-side partials.
+    (The previous construction exploded every word row ×60 before the
+    partial agg: 60× the map-side rows for the same 60 numbers.)"""
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
     words = words.withColumn("hv", _hash60(F.col("w")))
-    bits = words.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_BITS)])).alias("bit"),
-        "hv",
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    agg = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    packed = agg.groupBy("doc_id").agg(
+    # s_i = Σ_words (bit_i(hv) ? +1 : -1), one column per bit
+    tallies = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(hv >> {i}) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*tallies)
+    packed_expr = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed_expr = term if packed_expr is None else packed_expr + term
+    packed = agg.select("doc_id", packed_expr.alias("simhash"))
     return packed.orderBy("doc_id")
 
 

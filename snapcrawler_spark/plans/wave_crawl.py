@@ -5,6 +5,12 @@ the driver, wave mode keeps the frontier itself distributed — this is
 the configuration that runs at 10^10-URL scale and the one the bench
 measures (BASELINE.json metric: URLs fetched+deduped per second).
 
+Before wave 0 (fresh crawls), the optional sitemap feeder
+(cfg.extra['sitemap_enabled'], operators/sitemap.py) resolves
+robots-advertised sitemaps — including <sitemapindex> recursion — and
+enqueues their page URLs as priority-0/depth-1 frontier rows through
+the same seen-set probe as any other candidate.
+
 Per wave (one Structured-Streaming-style batch iteration):
 
 1. **select**   politeness window over the pending frontier
@@ -92,11 +98,17 @@ class WaveCrawl:
         catalog: SnapshotCatalog | None = None,
         seen_kind: str = "bloom",
         collect_metrics: bool = True,
+        count_candidates: bool = False,
     ):
         """``collect_metrics=False`` drops the optional per-wave lineage
         counts (n_ok / dup_pages / items / deduped_new) — each is a
-        Spark action, and the bench only needs fetched + candidates."""
+        Spark action, and the bench only needs fetched + candidates.
+        ``count_candidates=True`` keeps ONLY the per-wave candidate
+        count (one extra action/wave) so the bench can report the
+        legacy round-1 throughput numerator alongside the pinned one."""
         self.collect_metrics = collect_metrics
+        self.count_candidates = count_candidates
+        self.total_candidates = 0
         self.spark = spark
         self.t = tables
         self.cfg = cfg
@@ -135,6 +147,9 @@ class WaveCrawl:
         # per-wave (host, status, outcome) fetch lineage
         # (filtering_module.py:53,245-247 error-tally analog)
         self.tally_parts: list[DataFrame] = []
+        # plain persist() handles released during/after run() — tracked
+        # so tests can assert nothing stays cached (cache-leak guard)
+        self._wave_persists: list[DataFrame] = []
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom
@@ -169,6 +184,52 @@ class WaveCrawl:
             F.lit(0).alias("depth"),
             F.lit(1).alias("priority"),
             "enq_seq",
+            F.lit(0).alias("wave"),
+            F.lit(0).alias("attempt"),
+        )
+
+    def _sitemap_frontier(self) -> DataFrame | None:
+        """Sitemap feeder (navigation_module.py:147-225 analog), switched
+        by cfg.extra['sitemap_enabled']: sitemap roots come from robots
+        (``Sitemap:`` lines, else the advertised list), index documents
+        recurse one join-back pass per level, and the resulting page
+        URLs enter the wave-0 frontier as priority-0 / depth-1 rows —
+        subject to the same seen-set probe as any other candidate.
+        enq_seq sits between the seeds and wave-1 discoveries
+        (1 << 40 band), so FIFO-wise they queue right after the seeds."""
+        if not self.cfg.extra.get("sitemap_enabled") or "sitemaps" not in self.t:
+            return None
+        from snapcrawler_spark.operators.sitemap import (
+            resolve_sitemaps,
+            sitemaps_from_robots,
+        )
+
+        robots = self.t["robots"]
+        if "robots_txt" in robots.columns:
+            roots = sitemaps_from_robots(robots)
+        else:
+            roots = robots.select(
+                "host", F.explode("sitemap_urls").alias("sitemap_url")
+            )
+        entries = (
+            resolve_sitemaps(roots, self.t["sitemaps"])
+            .select("url")
+            .where(host_col(F.col("url")).isin(self.allowed_hosts))
+            .distinct()
+        )
+        new_rows = self.seen.probe_new(entries, assume_unique=True)
+        pid = F.pmod(F.xxhash64("url"), F.lit(self.cfg.seen_partitions))
+        w = Window.partitionBy(pid).orderBy("url")
+        return new_rows.select(
+            "url",
+            host_col(F.col("url")).alias("host"),
+            F.lit(1).alias("depth"),
+            F.lit(0).alias("priority"),
+            (
+                F.lit(1 << 40).cast("long")
+                + F.shiftleft(pid, _SEQ_PID_SHIFT)
+                + F.row_number().over(w)
+            ).alias("enq_seq"),
             F.lit(0).alias("wave"),
             F.lit(0).alias("attempt"),
         )
@@ -218,6 +279,9 @@ class WaveCrawl:
         else:
             frontier = self._seed_frontier()
             self.seen.probe_new(frontier.select("url"), assume_unique=True)
+            sm = self._sitemap_frontier()
+            if sm is not None:
+                frontier = frontier.unionByName(sm)
 
         end_wave = self.wave + max_waves
         while self.wave < end_wave:
@@ -272,10 +336,14 @@ class WaveCrawl:
             if cfg.max_depth > 0:
                 fetchable = fetchable.where(F.col("depth") < cfg.max_depth)
 
-            # fetch: base URL (fragment stripped) against the pages corpus
+            # fetch: base URL (fragment stripped) against the pages corpus.
+            # persist: `hit` fans out to ok/retries/tally within the wave;
+            # released at wave end (lineage back to the frontier checkpoint
+            # stays recomputable for the crawl-end items union)
             fetchable = fetchable.withColumn(
                 "base", F.substring_index("url", "#", 1)
             ).persist()
+            self._wave_persists.append(fetchable)
             n_selected = fetchable.count()
             page_cols = [F.col("url").alias("base"), "status", "content_md5"]
             if "transient_fails" in pages.columns:
@@ -402,7 +470,12 @@ class WaveCrawl:
                 "cand_rank", F.row_number().over(w_cand)
             ).where(F.col("cand_rank") == 1).drop("cand_rank")
             want_counts = self.collect_metrics or self.catalog is not None
-            n_cands = cands.count() if want_counts else -1
+            n_cands = (
+                cands.count()
+                if want_counts or self.count_candidates
+                else -1
+            )
+            self.total_candidates += max(n_cands, 0)
 
             probed = self.seen.probe_and_insert(cands, assume_unique=True)
             new_rows = probed.where("was_new").drop("was_new")
@@ -508,6 +581,12 @@ class WaveCrawl:
                 )
             if owns_selected:
                 selected.unpersist()
+            # release the wave's fetch cache now that every in-wave
+            # consumer (counts, tally, frontier checkpoint, catalog
+            # appends) has materialized; the lazily-persisted `items`
+            # slice recomputes from the frontier checkpoint at crawl end
+            fetchable.unpersist()
+            self._wave_persists.remove(fetchable)
             self.wave += 1
 
         # ---- image phase over all items (deterministic wave-major order)
@@ -515,8 +594,13 @@ class WaveCrawl:
             all_items = self.items_parts[0]
             for p in self.items_parts[1:]:
                 all_items = all_items.unionByName(p)
-            # collapse the many-wave union before the ranking shuffle
+            # collapse the many-wave union before the ranking shuffle;
+            # localCheckpoint is EAGER, so the per-wave item persists are
+            # fully consumed once it returns — release them (plain
+            # persists, not checkpoints: recompute stays possible)
             all_items = all_items.localCheckpoint()
+            for p in self.items_parts:
+                p.unpersist()
         else:
             all_items = spark.createDataFrame(
                 [], "parent_seq long, source_page string, depth int, "
@@ -550,4 +634,5 @@ class WaveCrawl:
             seen=self.seen,
             waves=self.wave,
             total_fetched=self.total_fetched,
+            total_candidates=self.total_candidates,
         )

@@ -1,10 +1,13 @@
-"""IVF ANN correctness properties (the rows-only gate's pytest hook).
+"""IVF ANN correctness properties.
 
-The op has no DuckDB oracle (iterative k-means); instead we pin:
+Since round 3 the op also has a full DuckDB oracle (unrolled fixed-point
+Lloyd, __spark_entry__._ann_ivf_oracle); these pytest properties pin the
+*semantics* independent of any oracle:
 1. full probe ≡ brute force: with n_probe = n_cells every cell is
    scanned, so the result must equal the exact top-k bit-for-bit;
 2. partial-probe recall floor vs brute force;
-3. determinism across invocations.
+3. determinism across invocations;
+4. the k-means training collect is HARD-BOUNDED at any corpus size.
 """
 
 from __future__ import annotations
@@ -12,7 +15,9 @@ from __future__ import annotations
 import pytest
 
 from snapcrawler_spark.pipeline.ann import (
+    KMEANS_SAMPLE_CAP,
     N_CELLS,
+    _training_sample,
     ann_brute_force,
     ann_ivf,
 )
@@ -59,3 +64,21 @@ class TestIvf:
         a = _pairs(ann_ivf(spark, SF))
         b = _pairs(ann_ivf(spark, SF))
         assert a == b
+
+    def test_training_collect_is_bounded(self, spark):
+        """A corpus far larger than the cap still collects ≤ cap rows
+        to the driver — the scale invariant the docstring claims."""
+        from pyspark.sql import functions as F
+
+        big = spark.range(KMEANS_SAMPLE_CAP * 5).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 3).cast("double"),
+            ).alias("v"),
+        )
+        pts = _training_sample(big, sample_stride=1)
+        assert len(pts) == KMEANS_SAMPLE_CAP
+        # stride spreads the sample without changing the bound
+        pts7 = _training_sample(big, sample_stride=7)
+        assert len(pts7) == KMEANS_SAMPLE_CAP * 5 // 7 + 1

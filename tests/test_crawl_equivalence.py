@@ -78,6 +78,13 @@ CONFIG_MATRIX = [
     dict(host_budget=3),
     dict(extra={"robots_enabled": True}),
     dict(watermark_enabled=True),
+    # aspect bounds off so extreme-ratio fixture images (0.05 / 15.0)
+    # reach the banner gate instead of rejecting as 'aspect' first
+    dict(
+        aspect_ratio_min=0.0,
+        aspect_ratio_max=0.0,
+        allow_logos_banners=False,
+    ),
 ]
 
 
@@ -98,6 +105,20 @@ def test_html_extraction_backend_equivalent(spark, web_xs):
         _run_engine(spark, web_xs, cfg, extraction="html"),
         crawl_oracle(web_xs, cfg),
     )
+
+
+def test_bare_string_ajax_sweep_is_exercised(web_xs):
+    """The fixture seeds pages whose image URL appears ONLY as an
+    un-keyed JSON array element (channel 'ajax_list'); the html-backend
+    equivalence test above would fail if the bare-string sweep
+    (middlewares.py:245-257 analog) missed them."""
+    items = web_xs["page_items"]
+    sweep = items[items.channel == "ajax_list"]
+    assert len(sweep) > 0
+    # sweep-only coverage: at least one of these URLs appears in NO
+    # other channel row (so only the sweep can harvest it)
+    others = set(items[items.channel != "ajax_list"].url)
+    assert any(u not in others for u in sweep.url)
 
 
 def test_wave_count_scales_with_depth_not_pages(spark, web_s):

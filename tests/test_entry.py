@@ -47,8 +47,9 @@ QUERY_NAMES = sorted(entry_mod.queries().keys())
 
 
 # ops whose semantics are not SQL-expressible (iterative algorithms);
-# each must carry its own pytest correctness hook
-ROWS_ONLY = {"ann_ivf"}  # recall properties in tests/test_ann_ivf.py
+# each must carry its own pytest correctness hook. Empty since round 3:
+# ann_ivf's fixed-point unrolled-Lloyd oracle made the last one exact.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():

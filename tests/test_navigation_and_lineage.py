@@ -109,6 +109,36 @@ class TestNavigation:
         b = sorted(map(tuple, navigation_requests(pages, links).collect()))
         assert a == b
 
+    def test_anchor_text_term_flips_relevance(self, spark):
+        """The +0.4 anchor-text term (navigation_module.py:302-308): a
+        URL with no signal of its own qualifies through its text —
+        text family hit (+0.4) + image indicator in text (+0.3) = 0.7
+        > 0.5 — while a neutral-text sibling does not."""
+        pages = spark.createDataFrame(
+            [("https://n.test/list2", _PAGINATED_HTML)],
+            "url string, html string",
+        )
+        links = spark.createDataFrame(
+            [
+                ("https://n.test/list2", 0, "https://n.test/x/1",
+                 "Photo gallery"),
+                ("https://n.test/list2", 1, "https://n.test/x/2",
+                 "click here"),
+            ],
+            "src_url string, link_idx int, dst_url string, "
+            "anchor_text string",
+        )
+        reqs = navigation_requests(pages, links).collect()
+        ml = {r.request_url for r in reqs if r.source == "ml"}
+        assert "https://n.test/x/1" in ml
+        assert "https://n.test/x/2" not in ml
+
+    def test_fixture_links_carry_anchor_text(self, spark, web_xs):
+        links = web_xs["links"]
+        assert "anchor_text" in links.columns
+        texts = set(links.anchor_text)
+        assert any(t in texts for t in ("Gallery", "More images"))
+
 
 # ---------------------------------------------------------------------------
 # CAPTCHA gate (middlewares.py:109-157)

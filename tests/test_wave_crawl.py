@@ -58,6 +58,18 @@ class TestWaveMode:
         assert sum(x.selected for x in m) == run["total_fetched"]
         assert all(x.deduped_new <= x.candidates for x in m)
 
+    def test_no_cached_blocks_leak(self, wave_run):
+        """Every plain persist() taken during the wave loop is released
+        by the time run() returns: per-wave `fetchable` at wave end,
+        per-wave `items` after the crawl-end union checkpoint. (The
+        remaining cached blocks are localCheckpoints — bounded state,
+        compacted by the seen-set parts logic.)"""
+        wc, _run, _ = wave_run
+        assert wc._wave_persists == []
+        for p in wc.items_parts:
+            lvl = p.storageLevel
+            assert not lvl.useMemory and not lvl.useDisk
+
     def test_phash_dedup_first_wins_in_wave_order(self, spark, web_xs):
         cfg = _cfg(web_xs, deduplication=True)
         run = WaveCrawl(
