@@ -401,12 +401,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
+        "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
         "ann_brute_force": _ann.ann_brute_force,
         "ann_lsh": _ann.ann_lsh,
         "ann_lsh_multi": _ann.ann_lsh_multi,
-        # rows-only (no DuckDB oracle): iterative k-means training is not
-        # SQL-expressible; correctness hook = pytest recall properties
-        # (tests/test_ann_ivf.py: recall(n_probe=n_cells)==1.0 vs brute)
+        # full oracle since round 3: bounded fixed-point Lloyd training
+        # unrolls to SQL (_ann_ivf_oracle); pytest recall properties
+        # remain as semantic checks (tests/test_ann_ivf.py)
         "ann_ivf": _ann.ann_ivf,
         "embedding_norm_stats": _ann.norm_stats,
     }
@@ -898,6 +899,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
         "ann_ivf": _ann_ivf_oracle(),
+        "dedup_embedding_cosine": f"""
+            WITH base AS (
+              SELECT vec_id, cast(embedding as DOUBLE[]) AS v FROM embeddings
+            ), e AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 10000000 AS vec_id,
+                     list_transform(v, x -> x * 1.25) AS v
+              FROM base WHERE vec_id % 10 = 0
+            ), p AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pid_all, v AS pv
+              FROM e ORDER BY vec_id LIMIT {_ann.N_TABLES * _ann.N_PLANES}
+            ), planes AS (
+              SELECT pid_all // {_ann.N_PLANES} AS tbl,
+                     pid_all % {_ann.N_PLANES} AS plane_id, pv
+              FROM p
+            ), sig AS (
+              SELECT vec_id, tbl,
+                     cast(sum(CASE WHEN list_dot_product(v, pv) >= 0
+                         THEN (1::BIGINT << plane_id) ELSE 0 END) as bigint) AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id, tbl
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sig a JOIN sig b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT vec_a, vec_b,
+                     cast(floor((list_dot_product(ea.v, eb.v) /
+                           (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))))
+                           * 1000000) as bigint) AS cosine_e6
+              FROM cand
+              JOIN e ea ON ea.vec_id = vec_a
+              JOIN e eb ON eb.vec_id = vec_b
+            )
+            SELECT vec_a, vec_b, cosine_e6 FROM scored
+            WHERE cosine_e6 >= {_ann.DUP_THRESHOLD_E6} ORDER BY vec_a, vec_b
+        """,
         "embedding_norm_stats": """
             WITH e AS (
               SELECT label, sqrt(list_dot_product(cast(embedding as DOUBLE[]),

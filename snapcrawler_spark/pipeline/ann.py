@@ -329,6 +329,94 @@ def ann_ivf(
     )
 
 
+DUP_THRESHOLD_E6 = 950_000  # cosine ≥ 0.95 → near-duplicate pair
+
+
+def emb_with_seeded_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicates: every vec_id % 10 == 0
+    re-inserted at vec_id + 10_000_000 scaled by 1.25. Scaling preserves
+    direction exactly (cosine(v, 1.25·v) computes to the same double in
+    every engine), so the synthetic corpus — whose random vectors have
+    no natural near-dups — gets known positives at every scale factor.
+    Sign-hyperplane buckets are scale-invariant, so LSH recall on these
+    pairs is exactly 1.0 (same signs in every table)."""
+    e = _emb(spark, sf_dir)
+    dup = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.25).alias("v"),
+        "label",
+    )
+    return e.unionByName(dup)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_e6: int = DUP_THRESHOLD_E6,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the seeded corpus:
+    multi-table hyperplane-LSH candidates (ALL same-bucket pairs, no
+    query stride) verified by exact cosine ≥ threshold.
+
+    The 100 TB shape: candidate generation is bucket-local per table
+    (never an all-pairs self-join); the exact-cosine verify touches only
+    the candidate sliver. Completes the dedup family (exact / Jaccard /
+    MinHash-LSH / SimHash / embedding-cosine)."""
+    emb = emb_with_seeded_dups(spark, sf_dir).persist()
+    first = (
+        emb.orderBy("vec_id")
+        .limit(n_tables * N_PLANES)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "pid_all"
+            ),
+            F.col("v").alias("pv"),
+        )
+    )
+    planes = first.select(
+        F.floor(F.col("pid_all") / N_PLANES).cast("int").alias("tbl"),
+        F.pmod("pid_all", F.lit(N_PLANES)).alias("plane_id"),
+        "pv",
+    )
+    joined = emb.crossJoin(F.broadcast(planes))
+    bit = F.when(_dot(F.col("v"), F.col("pv")) >= 0, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    sig = (
+        joined.select("vec_id", "tbl", "plane_id", bit.alias("bit"))
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(cast(bit as bigint), plane_id)")
+            ).alias("bucket")
+        )
+    )
+    a = sig.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = _dot(F.col("av"), F.col("bv")) / (
+        _norm(F.col("av")) * _norm(F.col("bv"))
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * 1_000_000).cast("long").alias("cosine_e6"),
+        )
+        .where(F.col("cosine_e6") >= threshold_e6)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (sanity aggregate)."""
     emb = _emb(spark, sf_dir)

