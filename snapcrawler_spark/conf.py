@@ -69,6 +69,20 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict, compare=False)
 
     @property
+    def norm_orientation(self) -> str:
+        """Scrapy-chain synonyms (pipelines.py:194-197): vertical →
+        portrait, horizontal → landscape."""
+        return {"vertical": "portrait", "horizontal": "landscape"}.get(
+            self.orientation, self.orientation
+        )
+
+    @property
+    def norm_color_mode(self) -> str:
+        """pipelines.py:180 defaults to 'any' where filtering_module
+        uses 'all' — both mean no color filtering."""
+        return "all" if self.color_mode == "any" else self.color_mode
+
+    @property
     def thumb_min_px(self) -> int:
         if self.min_commons_thumb_px is not None:
             return int(self.min_commons_thumb_px)

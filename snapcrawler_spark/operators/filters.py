@@ -176,15 +176,15 @@ def image_pipeline(
         meta_reason = meta_reason.when(
             F.col("dpi").isNotNull() & (F.col("dpi") < cfg.min_dpi), F.lit("dpi")
         )
-    if cfg.color_mode == "color":
+    if cfg.norm_color_mode == "color":
         meta_reason = meta_reason.when(F.col("mode") == "L", F.lit("color"))
-    elif cfg.color_mode == "bw":
+    elif cfg.norm_color_mode == "bw":
         meta_reason = meta_reason.when(F.col("mode") != "L", F.lit("color"))
-    if cfg.orientation == "landscape":
+    if cfg.norm_orientation == "landscape":
         meta_reason = meta_reason.when(F.col("w") < F.col("h"), F.lit("orientation"))
-    elif cfg.orientation == "portrait":
+    elif cfg.norm_orientation == "portrait":
         meta_reason = meta_reason.when(F.col("h") < F.col("w"), F.lit("orientation"))
-    elif cfg.orientation == "square":
+    elif cfg.norm_orientation == "square":
         meta_reason = meta_reason.when(F.col("w") != F.col("h"), F.lit("orientation"))
     if cfg.aspect_ratio_min > 0:
         meta_reason = meta_reason.when(

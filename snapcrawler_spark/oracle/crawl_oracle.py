@@ -332,18 +332,18 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
         if cfg.min_dpi > 0 and m["dpi"] is not None and m["dpi"] < cfg.min_dpi:
             res.rejections.append((item_seq_, iurl, "dpi"))
             continue
-        if cfg.color_mode != "all":
+        if cfg.norm_color_mode != "all":
             is_gray = m["mode"] == "L"
-            if (cfg.color_mode == "color" and is_gray) or (
-                cfg.color_mode == "bw" and not is_gray
+            if (cfg.norm_color_mode == "color" and is_gray) or (
+                cfg.norm_color_mode == "bw" and not is_gray
             ):
                 res.rejections.append((item_seq_, iurl, "color"))
                 continue
-        if cfg.orientation != "all":
+        if cfg.norm_orientation != "all":
             bad = (
-                (cfg.orientation == "landscape" and w < h)
-                or (cfg.orientation == "portrait" and h < w)
-                or (cfg.orientation == "square" and w != h)
+                (cfg.norm_orientation == "landscape" and w < h)
+                or (cfg.norm_orientation == "portrait" and h < w)
+                or (cfg.norm_orientation == "square" and w != h)
             )
             if bad:
                 res.rejections.append((item_seq_, iurl, "orientation"))

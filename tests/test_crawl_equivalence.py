@@ -85,7 +85,21 @@ CONFIG_MATRIX = [
         aspect_ratio_max=0.0,
         allow_logos_banners=False,
     ),
+    # Scrapy-chain synonyms (pipelines.py:180,194-197)
+    dict(orientation="vertical", color_mode="any"),
 ]
+
+
+def test_orientation_color_synonyms_normalize():
+    """pipelines.py:194-197 maps vertical→portrait / horizontal→
+    landscape; :180 uses 'any' where filtering_module uses 'all'."""
+    c = CrawlConfig(orientation="vertical", color_mode="any")
+    assert c.norm_orientation == "portrait"
+    assert c.norm_color_mode == "all"
+    c2 = CrawlConfig(orientation="horizontal")
+    assert c2.norm_orientation == "landscape"
+    c3 = CrawlConfig(orientation="square", color_mode="bw")
+    assert (c3.norm_orientation, c3.norm_color_mode) == ("square", "bw")
 
 
 @pytest.mark.parametrize("overrides", CONFIG_MATRIX)
