@@ -130,14 +130,18 @@ def dedup_ngram_jaccard(
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h 0..N-1, minhash): H portable minhash values.
+def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh{N-1}): H portable minhash values as COLUMNS.
 
     Standard two-hash family: hv_i = h1 + i·(h2 mod 2^40) — two md5
     evaluations per shingle instead of H (the md5 string ops dominate;
     the arithmetic derivation is ~8× cheaper and exactly mirrored in
     the DuckDB oracle). No overflow: h1 < 2^60, i·h2' < 2^44.
-    """
+
+    Bit-sliced aggregation: the H minimums are H ``min`` expressions in
+    ONE ``groupBy(doc_id)`` — no shingles×H explode before the partial
+    agg and no (doc, h) shuffle of H× the shingle rows (the same
+    restructuring that fixed the simhash fingerprint)."""
     d = _docs(spark, sf_dir)
     sh = shingles(d)
     keyed = sh.select(
@@ -147,13 +151,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h2"
         ),
     )
-    hs = keyed.select(
+    aggs = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return keyed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h 0..N-1, minhash): the narrow view of the wide
+    signature table (one stack over N-per-doc rows — cheap; the heavy
+    shingle aggregation happens wide)."""
+    wide = minhash_signatures_wide(spark, sf_dir)
+    pairs = ", ".join(f"{i}, mh{i}" for i in range(N_MINHASH))
+    return wide.select(
         "doc_id",
-        "h1",
-        "h2",
-        F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])).alias("h"),
-    ).select("doc_id", "h", (F.col("h1") + F.col("h") * F.col("h2")).alias("hv"))
-    return hs.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+        F.expr(f"stack({N_MINHASH}, {pairs}) as (h, minhash)"),
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
 
 
 def dedup_minhash_lsh(
@@ -164,21 +178,33 @@ def dedup_minhash_lsh(
     Candidate generation never self-joins the full corpus — only rows
     agreeing on a whole band (banding theory: P[candidate] = 1-(1-s^r)^b).
     """
-    sig = minhash_signatures(spark, sf_dir)
+    wide = minhash_signatures_wide(spark, sf_dir)
     rows_per_band = N_MINHASH // LSH_BANDS
-    banded = sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-    band_key = banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("h", "minhash"))
-                    ),
-                    lambda s: s.minhash.cast("string"),
-                ),
-            )
-        ).alias("bucket")
+    sig = wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({N_MINHASH}, "
+            + ", ".join(f"{i}, mh{i}" for i in range(N_MINHASH))
+            + ") as (h, minhash)"
+        ),
+    ).select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
+    # band bucket straight from the wide columns: md5 of the band's
+    # minhashes joined in h order — byte-identical to the former
+    # sorted-collect_list construction, no per-band groupBy
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)
+        ]
+        band_exprs.append(F.md5(F.concat_ws(",", *cols)).alias(f"bk{b}"))
+    band_key = wide.select("doc_id", *band_exprs).select(
+        "doc_id",
+        F.expr(
+            f"stack({LSH_BANDS}, "
+            + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+            + ") as (band, bucket)"
+        ),
     )
     a = band_key.alias("a")
     b = band_key.alias("b")
