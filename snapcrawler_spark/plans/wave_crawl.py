@@ -77,6 +77,24 @@ _SEQ_WAVE_SHIFT = 44
 _SEQ_PID_SHIFT = 28
 
 
+def _obs_n(obs, df) -> int:
+    """Single-metric Observation value read through the JVM row, with a
+    count() fallback.
+
+    ``Observation.get`` pickles the metrics row via ``toPyRow``, which
+    asserts on an EMPTY metrics row; the row comes back empty when AQE
+    empty-relation propagation prunes the observed subtree out of the
+    first completed action (e.g. a wave whose probe input is empty).
+    In that degenerate case — and only then — fall back to counting the
+    DataFrame directly (near-empty plan, trivially cheap). Each
+    observation here carries exactly one COUNT metric, so index 0 is
+    the value."""
+    jrow = obs._jo.getRow()
+    if jrow.length() == 0:
+        return df.count()
+    return int(jrow.get(0))
+
+
 @dataclass
 class WaveMetrics:
     wave: int
@@ -305,9 +323,20 @@ class WaveCrawl:
                 ).cast("int").alias("budget"),
             ).localCheckpoint()
 
+        # per-wave counts ride on jobs that already scan the data
+        # (df.observe piggybacked on the probe/checkpoint actions) —
+        # at 10^10-URL scale a count() is a full extra frontier pass
+        # per wave. _pending_next carries the frontier size observed
+        # during the previous wave's checkpoint; the first wave (or a
+        # resume) pays one count.
+        from pyspark.sql import Observation
+
+        pending_next: int | None = None
         end_wave = self.wave + max_waves
         while self.wave < end_wave:
-            pending_n = frontier.count()
+            pending_n = (
+                pending_next if pending_next is not None else frontier.count()
+            )
             if pending_n == 0:
                 break
             if cfg.max_requests > 0 and self.total_fetched >= cfg.max_requests:
@@ -361,12 +390,14 @@ class WaveCrawl:
             # fetch: base URL (fragment stripped) against the pages corpus.
             # persist: `hit` fans out to ok/retries/tally within the wave;
             # released at wave end (lineage back to the frontier checkpoint
-            # stays recomputable for the crawl-end items union)
+            # stays recomputable for the crawl-end items union). The
+            # selected count is an observation resolved by the md5-probe
+            # job (the first full scan) — no dedicated count() pass.
+            obs_sel = Observation()
             fetchable = fetchable.withColumn(
                 "base", F.substring_index("url", "#", 1)
-            ).persist()
+            ).observe(obs_sel, F.count(F.lit(1)).alias("n")).persist()
             self._wave_persists.append(fetchable)
-            n_selected = fetchable.count()
             page_cols = [F.col("url").alias("base"), "status", "content_md5"]
             if "transient_fails" in pages.columns:
                 page_cols.append(F.col("transient_fails"))
@@ -402,6 +433,10 @@ class WaveCrawl:
                 ),
             )
             ok = hit.where((F.col("eff_status") == 200) & ~F.col("is_captcha"))
+            obs_ok = None
+            if self.collect_metrics:
+                obs_ok = Observation()
+                ok = ok.observe(obs_ok, F.count(F.lit(1)).alias("n"))
 
             # retry: transient statuses re-enter the frontier with
             # attempt+1 <= MAX_RETRIES (settings.py:84-85; queue-tail
@@ -435,11 +470,15 @@ class WaveCrawl:
             fresh = firsts.join(
                 probed.where("was_new").select("content_md5"), "content_md5"
             )
+            obs_fresh = None
             if self.collect_metrics:
-                n_fresh = fresh.count()
-                n_ok = ok.count()
-            else:
-                n_fresh = n_ok = -1
+                obs_fresh = Observation()
+                fresh = fresh.observe(obs_fresh, F.count(F.lit(1)).alias("n"))
+            # the md5 probe's eager checkpoint scanned firsts (and thus
+            # ok, and thus every fetchable partition) — these
+            # observations are resolved, no count() jobs needed
+            n_selected = _obs_n(obs_sel, fetchable)
+            n_ok = _obs_n(obs_ok, ok) if obs_ok is not None else -1
 
             # extraction over fresh pages only
             extracted = extract_from_tables(
@@ -492,14 +531,23 @@ class WaveCrawl:
                 "cand_rank", F.row_number().over(w_cand)
             ).where(F.col("cand_rank") == 1).drop("cand_rank")
             want_counts = self.collect_metrics or self.catalog is not None
+            obs_cands = None
+            if want_counts or self.count_candidates:
+                obs_cands = Observation()
+                cands = cands.observe(
+                    obs_cands, F.count(F.lit(1)).alias("n")
+                )
+
+            # the seen probe's eager cogroup checkpoint scans every cands
+            # partition — cands/fresh observations resolve here for free
+            probed = self.seen.probe_and_insert(cands, assume_unique=True)
             n_cands = (
-                cands.count()
-                if want_counts or self.count_candidates
-                else -1
+                _obs_n(obs_cands, cands) if obs_cands is not None else -1
             )
             self.total_candidates += max(n_cands, 0)
-
-            probed = self.seen.probe_and_insert(cands, assume_unique=True)
+            n_fresh = (
+                _obs_n(obs_fresh, fresh) if obs_fresh is not None else -1
+            )
             new_rows = probed.where("was_new").drop("was_new")
             new_frontier = self._pack_seq(new_rows, self.wave).select(
                 "url",
@@ -567,11 +615,21 @@ class WaveCrawl:
                         {r.host: r.budget for r in self.budgets.collect()}
                     )
 
-            # localCheckpoint (eager) truncates the per-wave union lineage
+            # localCheckpoint (eager) truncates the per-wave union
+            # lineage; it is also the single full pass that resolves the
+            # next wave's pending count and this wave's new-URL count
+            obs_new = None
+            if want_counts:
+                obs_new = Observation()
+                new_frontier = new_frontier.observe(
+                    obs_new, F.count(F.lit(1)).alias("n")
+                )
+            obs_pending = Observation()
             frontier = (
                 rest.unionByName(new_frontier).unionByName(retries)
-            ).localCheckpoint()
-            n_new = new_frontier.count() if want_counts else -1
+            ).observe(obs_pending, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            pending_next = _obs_n(obs_pending, frontier)
+            n_new = _obs_n(obs_new, new_frontier) if obs_new is not None else -1
             self.total_fetched += n_selected
             self.metrics.append(
                 WaveMetrics(
