@@ -8,8 +8,11 @@ the oracle walks them in Python):
   truth), anchor_text (rendered link text — ML navigation relevance)
 - ``page_items``: src_url, item_idx, channel, url — raw extraction-channel
   occurrences in document order; channels mirror extract_images at
-  crawling_module.py:264-318 (img src / data-src / data-lazy-src,
-  parent-<a> href, data-file-url, inline CSS url(), <style> url()).
+  crawling_module.py:264-318 (per-<img> src→data-src→data-lazy-src
+  fallback, parent-<a> href, data-file-url, inline CSS url(), <style>
+  url()) plus the spider extras (image_spider.py:199-316: picture/
+  source srcset, standalone lazy attrs, relative/single-quoted JS
+  sweep, extended modern extensions).
   Classification of each occurrence (direct image vs cascade image-page
   vs drop) is *engine/oracle logic*, not fixture data.
 - ``image_fetch``: image_url, image_id, status, content_type — what an
@@ -310,6 +313,97 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                         f'<script>var g = {{"gallery": ["{aurl}"], '
                         f'"page": 1}};</script>'
                     )
+            # ---- round-4 parity coverage blocks. Each uses an
+            # independent per-URL PCG64 stream so every pre-existing
+            # fixture draw stays byte-identical. URLs live under /x4/
+            # so they never collide with other channels.
+            brng = np.random.Generator(
+                np.random.PCG64(seed * 710_003 + _stable_hash(url))
+            )
+
+            def _x4(tag: str, ext: str = ".jpg"):
+                """Fresh same-host image URL + fetch_map registration."""
+                iid = image_ids[int(brng.integers(0, len(image_ids)))]
+                u = f"https://{host}/x4/{tag}_{j}{ext}"
+                if u not in fetch_map:
+                    fetch_map[u] = (iid, 200, _CTYPE[image_fmt[iid]])
+                return u
+
+            r4 = brng.random()
+            if r4 < 0.10:
+                # per-<img>-tag src fallback chain
+                # (crawling_module.py:271): the LOSING attribute's URL
+                # must NOT be extracted even though it looks valid
+                variant = int(brng.integers(0, 3))
+                if variant == 0:
+                    win = _x4("fbwin")
+                    lose = f"https://{host}/x4/fblose_{j}.jpg"
+                    item_rows.append((url, item_idx, "img_src", win))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<img src="{win}" data-src="{lose}"/>'
+                    )
+                elif variant == 1:
+                    lazy = _x4("fblazy")
+                    item_rows.append((url, item_idx, "img_lazysrc", lazy))
+                    item_idx += 1
+                    html_parts.append(f'<img data-lazy-src="{lazy}"/>')
+                else:
+                    win = _x4("fbds")
+                    lose = f"https://{host}/x4/fbdl_{j}.png"
+                    item_rows.append((url, item_idx, "img_datasrc", win))
+                    item_idx += 1
+                    html_parts.append(
+                        f'<img data-src="{win}" data-lazy-src="{lose}"/>'
+                    )
+            elif r4 < 0.17:
+                # <picture><source srcset>/<source data-srcset> + the
+                # <img> fallback inside (image_spider.py:283-316)
+                u1, u2 = _x4("pic1"), _x4("pic2")
+                v = _x4("picd", ".png")
+                w = _x4("picf")
+                for pu in (u1, u2, v):
+                    item_rows.append((url, item_idx, "picture_srcset", pu))
+                    item_idx += 1
+                item_rows.append((url, item_idx, "img_src", w))
+                item_idx += 1
+                html_parts.append(
+                    f'<picture><source srcset="{u1} 1x, {u2} 2x"/>'
+                    f'<source data-srcset="{v} 1x"/>'
+                    f'<img src="{w}"/></picture>'
+                )
+            elif r4 < 0.24:
+                # standalone lazy attrs (image_spider.py:264-272)
+                attr = ("data-original", "data-lazy", "data-image",
+                        "data-thumb", "data-full-src")[int(brng.integers(0, 5))]
+                u = _x4("lz")
+                item_rows.append((url, item_idx, "lazy_attr", u))
+                item_idx += 1
+                html_parts.append(f'<div {attr}="{u}">z</div>')
+            elif r4 < 0.31:
+                # relative / single-quoted JS image URLs
+                # (image_spider.py:199-206 sweep pattern)
+                rel = f"/x4/rel_{j}.png"
+                absu = f"https://{host}{rel}"
+                iid = image_ids[int(brng.integers(0, len(image_ids)))]
+                if absu not in fetch_map:
+                    fetch_map[absu] = (iid, 200, _CTYPE[image_fmt[iid]])
+                item_rows.append((url, item_idx, "ajax_rel", absu))
+                item_idx += 1
+                html_parts.append(
+                    f"<script>var p = '{rel}'; preload(p);</script>"
+                )
+            elif r4 < 0.36:
+                # extended modern extension (image_spider.py:326-337):
+                # URL predicate must pass; the format filter downstream
+                # rejects by cfg.formats as usual
+                ext = (".avif", ".heic", ".jxl", ".tif", ".webp2")[
+                    int(brng.integers(0, 5))
+                ]
+                u = _x4("modern", ext)
+                item_rows.append((url, item_idx, "img_src", u))
+                item_idx += 1
+                html_parts.append(f'<img src="{u}"/>')
             if with_html:
                 html_parts.append("</body></html>")
                 html = "".join(html_parts)

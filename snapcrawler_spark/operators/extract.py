@@ -16,7 +16,11 @@ order):
   the fast path (bench, scale).
 - ``extract_from_html``: regexp channels over the html column +
   an Arrow-batched urljoin UDF — mirrors the reference's extraction
-  union (image_spider.py:165-235 / crawling_module.py:264-318).
+  union (image_spider.py:165-316 / crawling_module.py:264-318):
+  per-<img>-tag src→data-src→data-lazy-src fallback, <picture>/<source>
+  srcset + data-srcset, the standalone lazy-attr set, CSS url(),
+  key-addressed + bare-string + relative/single-quoted JS sweeps,
+  JSON-LD, data-file-url, parent-<a>.
 """
 
 from __future__ import annotations
@@ -28,11 +32,20 @@ from pyspark.sql import types as T
 
 from snapcrawler_spark.conf import CrawlConfig
 
-IMAGE_EXT_RE = r"\.(jpg|jpeg|png|gif|webp|svg|bmp|tiff|ico)$"
+# classic nine + the spider's extended modern set
+# (image_spider.py:326-337: tif/avif/heic/heif/jxl/cur/avifs/webp2)
+IMAGE_EXT_RE = (
+    r"\.(jpg|jpeg|png|gif|webp|svg|bmp|tiff|ico"
+    r"|tif|avif|heic|heif|jxl|cur|avifs|webp2)$"
+)
 
 
 def host_col(url: Column) -> Column:
-    return F.parse_url(url, F.lit("HOST"))
+    # try_parse_url: ANSI parse_url THROWS on strings Java's URI
+    # rejects (e.g. a harvested srcset composite "…png 1x"); the
+    # reference's urlparse never throws — it classifies such strings
+    # invalid downstream, which NULL-host reproduces
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def scheme_col(url: Column) -> Column:
@@ -46,7 +59,7 @@ def strip_fragment_col(url: Column) -> Column:
 def valid_image_url_col(url: Column, cfg: CrawlConfig) -> Column:
     url_lower = F.lower(url)
     host = host_col(url)
-    path_lower = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    path_lower = F.lower(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")))
     ends_img = url_lower.rlike(IMAGE_EXT_RE)
     commons = host.isNotNull() & host.endswith("commons.wikimedia.org")
     upload = host.isNotNull() & host.endswith("upload.wikimedia.org")
@@ -92,7 +105,7 @@ def allowed_link_col(url: Column, allowed_hosts: list[str]) -> Column:
 def url_ext_col(url: Column) -> Column:
     """URL-path basename extension, 'jpg' fallback (download_image naming)."""
     base = F.element_at(
-        F.split(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), "/"), -1
+        F.split(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), "/"), -1
     )
     return F.when(
         base.contains("."), F.lower(F.element_at(F.split(base, r"\."), -1))
@@ -201,19 +214,51 @@ def extract_from_html(
     JVM-side (regexp_extract_all); only urljoin is a pandas UDF.
     """
     h = F.col("html")
-    # srcset values → flatten "u1 1x, u2 2x" lists (image_spider.py:654-669)
-    srcset_urls = F.flatten(
-        F.transform(
-            F.regexp_extract_all(h, F.lit(r'<img srcset="([^"]+)"'), 1),
-            lambda s: F.transform(
-                F.split(s, ","), lambda p: F.element_at(F.split(F.trim(p), " "), 1)
-            ),
+
+    # srcset values → flatten "u1 1x, u2 2x" lists, over BOTH <img> and
+    # <picture><source> carriers and their data-srcset lazy twins
+    # (image_spider.py:283-316 _extract_responsive_images + :654-669
+    # _parse_srcset). `\s` before the attribute keeps data-srcset out of
+    # the plain-srcset pattern and vice versa.
+    def _srcset_flat(pattern: str):
+        return F.flatten(
+            F.transform(
+                F.regexp_extract_all(h, F.lit(pattern), 1),
+                lambda s: F.transform(
+                    F.split(s, ","),
+                    lambda p: F.element_at(F.split(F.trim(p), " "), 1),
+                ),
+            )
         )
+
+    srcset_urls = F.concat(
+        _srcset_flat(r'<(?:img|source)\b[^>]*?\ssrcset="([^"]+)"'),
+        _srcset_flat(r'<(?:img|source)\b[^>]*?\sdata-srcset="([^"]+)"'),
     )
+
+    # per-<img>-tag src fallback chain (crawling_module.py:271:
+    # `img.get('src') or img.get('data-src') or img.get('data-lazy-src')`)
+    # — a tag carrying several of these yields exactly ONE url, the
+    # first present, NOT the union of separate channels. The lookbehind
+    # keeps `src=` from matching inside `data-src=`/`data-lazy-src=`.
+    def _attr(tag, name: str):
+        return F.nullif(
+            F.regexp_extract(tag, rf'(?<![\w-]){name}="([^"]+)"', 1), F.lit("")
+        )
+
+    imgtag_urls = F.filter(
+        F.transform(
+            F.regexp_extract_all(h, F.lit(r"(<img\b[^>]*>)"), 1),
+            lambda t: F.coalesce(
+                _attr(t, "src"), _attr(t, "data-src"), _attr(t, "data-lazy-src")
+            ),
+        ),
+        lambda u: u.isNotNull(),
+    )
+
     raw = wave_pages.select(
         "url",
-        F.regexp_extract_all(h, F.lit(r'<img src="([^"]+)"'), 1).alias("c_src"),
-        F.regexp_extract_all(h, F.lit(r'<img data-src="([^"]+)"'), 1).alias("c_lazy"),
+        imgtag_urls.alias("c_imgtag"),
         F.regexp_extract_all(h, F.lit(r'data-file-url="([^"]+)"'), 1).alias("c_file"),
         F.regexp_extract_all(
             h, F.lit(r"""url\(["']?([^"')]+)["']?\)"""), 1
@@ -251,6 +296,25 @@ def extract_from_html(
                 ),
             )
         ).alias("c_ajaxsweep"),
+        # spider-mode JS sweep (image_spider.py:199-206): RELATIVE paths
+        # and single-quoted strings too — any quoted string containing a
+        # slash and ending in an image extension; absolutized below and
+        # re-validated downstream like every channel
+        F.flatten(
+            F.transform(
+                F.regexp_extract_all(
+                    h, F.lit(r"<script[^>]*>(.*?)</script>"), 1
+                ),
+                lambda b: F.regexp_extract_all(
+                    b,
+                    F.lit(
+                        r"""["']([^"']*/[^"']*(?i:\.(?:jpg|jpeg|png"""
+                        r"""|gif|webp|svg)))["']"""
+                    ),
+                    1,
+                ),
+            )
+        ).alias("c_jssweep"),
         # JSON-LD structured data (image_spider.py:211-219): the recursive
         # walk keeps exactly the string values that look like image URLs,
         # which equals a flat scan for quoted http(s) URLs inside the
@@ -269,10 +333,17 @@ def extract_from_html(
                 ),
             )
         ).alias("c_jsonld"),
-        # hidden-image data attributes (image_spider.py:266)
+        # hidden-image / lazy data attributes — the spider's full
+        # standalone lazy-attr set (image_spider.py:264-280). data-src /
+        # data-lazy-src are NOT here: those are per-<img> fallback
+        # members (c_imgtag above), per the parallel-mode spec. The
+        # `="` terminator keeps data-lazy from matching data-lazy-src.
         F.regexp_extract_all(
             h,
-            F.lit(r'data-(?:bg|background-image|srcset)="([^"]+)"'),
+            F.lit(
+                r'data-(?:background-image|full-src|original|srcset'
+                r'|image|thumb|lazy|bg)="([^"]+)"'
+            ),
             1,
         ).alias("c_databg"),
         F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"><img'), 1).alias("c_pa"),
@@ -280,12 +351,14 @@ def extract_from_html(
                              , 1).alias("c_a"),
     )
     # absolutize each channel against the page URL
-    for c in ["c_src", "c_lazy", "c_file", "c_css", "c_srcset", "c_ajax",
-              "c_ajaxsweep", "c_jsonld", "c_databg", "c_pa", "c_a"]:
+    for c in ["c_imgtag", "c_file", "c_css", "c_srcset", "c_ajax",
+              "c_ajaxsweep", "c_jssweep", "c_jsonld", "c_databg",
+              "c_pa", "c_a"]:
         raw = raw.withColumn(c, _urljoin_udf(F.col("url"), F.col(c)))
 
-    non_anchor = F.concat("c_src", "c_lazy", "c_file", "c_css", "c_srcset",
-                          "c_ajax", "c_ajaxsweep", "c_jsonld", "c_databg")
+    non_anchor = F.concat("c_imgtag", "c_file", "c_css", "c_srcset",
+                          "c_ajax", "c_ajaxsweep", "c_jssweep",
+                          "c_jsonld", "c_databg")
     img_from_any = F.array_union(
         F.filter(non_anchor, lambda u: valid_image_url_col(u, cfg)),
         F.filter(F.col("c_pa"), lambda u: valid_image_url_col(u, cfg)),

@@ -45,8 +45,12 @@ def select_wave(
     """
     df = frontier
     if hot_threshold > 0:
+        # per-host tables are small at fixture scale but O(hosts) at
+        # web scale (10^8 rows) — no forced broadcast hint; AQE picks
+        # broadcast when the aggregated side is genuinely small and a
+        # skew-handled shuffle join otherwise
         counts = df.groupBy("host").agg(F.count("*").alias("pending_n"))
-        df = df.join(F.broadcast(counts), "host")
+        df = df.join(counts, "host")
         df = df.withColumn(
             "salt",
             F.when(
@@ -64,7 +68,7 @@ def select_wave(
         df = df.withColumn("salt", F.lit(0)).withColumn("salt_div", F.lit(1))
 
     if budgets is not None:
-        df = df.join(F.broadcast(budgets), "host", "left").withColumn(
+        df = df.join(budgets, "host", "left").withColumn(
             "budget", F.coalesce("budget", F.lit(default_budget))
         )
     else:

@@ -38,7 +38,11 @@ from snapcrawler_spark.conf import (
     CrawlConfig,
 )
 
-_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico")
+# classic nine + the spider's extended modern set (image_spider.py:326-337)
+_IMAGE_EXTS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico",
+    ".tif", ".avif", ".heic", ".heif", ".jxl", ".cur", ".avifs", ".webp2",
+)
 _EXCLUDE_PATTERNS = (".css", ".js", ".html", ".php", ".xml", ".json")
 _IMAGE_PAGE_PATTERNS = (
     "/image/", "/photo/", "/picture/", "/img/", "/gallery/",

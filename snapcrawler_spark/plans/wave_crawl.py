@@ -48,9 +48,10 @@ bit-exact ordering gate.
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapcrawler_spark.catalog import SnapshotCatalog
@@ -78,21 +79,23 @@ _SEQ_PID_SHIFT = 28
 
 
 def _obs_n(obs, df) -> int:
-    """Single-metric Observation value read through the JVM row, with a
-    count() fallback.
+    """Single-metric Observation value via the public ``Observation.get``
+    API, with a count() fallback.
 
-    ``Observation.get`` pickles the metrics row via ``toPyRow``, which
-    asserts on an EMPTY metrics row; the row comes back empty when AQE
-    empty-relation propagation prunes the observed subtree out of the
-    first completed action (e.g. a wave whose probe input is empty).
-    In that degenerate case — and only then — fall back to counting the
-    DataFrame directly (near-empty plan, trivially cheap). Each
-    observation here carries exactly one COUNT metric, so index 0 is
-    the value."""
-    jrow = obs._jo.getRow()
-    if jrow.length() == 0:
+    ``Observation.get`` waits for the observed dataset's first action
+    and raises on an EMPTY metrics row; the row comes back empty when
+    AQE empty-relation propagation prunes the observed subtree out of
+    the first completed action (e.g. a wave whose probe input is
+    empty). In that degenerate case fall back to counting the DataFrame
+    directly (near-empty plan, trivially cheap). Every observation here
+    carries exactly one COUNT metric aliased ``n``; callers invoke this
+    only after the materializing action completed, so ``get`` never
+    blocks."""
+    try:
+        n = obs.get.get("n")
+    except Exception:
         return df.count()
-    return int(jrow.get(0))
+    return int(n) if n is not None else df.count()
 
 
 @dataclass
@@ -168,6 +171,10 @@ class WaveCrawl:
         # plain persist() handles released during/after run() — tracked
         # so tests can assert nothing stays cached (cache-leak guard)
         self._wave_persists: list[DataFrame] = []
+        # cumulative wall-seconds spent inside wave-end unpersist()
+        # calls; the regression guard asserts this stays O(seconds)
+        # (the round-3 CacheManager stall burned minutes per release)
+        self._unpersist_secs = 0.0
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom
@@ -329,8 +336,6 @@ class WaveCrawl:
         # per wave. _pending_next carries the frontier size observed
         # during the previous wave's checkpoint; the first wave (or a
         # resume) pays one count.
-        from pyspark.sql import Observation
-
         pending_next: int | None = None
         end_wave = self.wave + max_waves
         while self.wave < end_wave:
@@ -365,14 +370,18 @@ class WaveCrawl:
             # robots gate (engine capability; reference analog: scrapy
             # ROBOTSTXT_OBEY, settings.py:34)
             if cfg.extra.get("robots_enabled"):
+                # no broadcast hint: per-host cardinality is small at
+                # fixture scale (AQE broadcasts it on its own) but a
+                # 10^8-host web makes a FORCED broadcast multi-GB —
+                # let AQE pick the strategy from runtime sizes
                 r = robots.select(
                     "host", F.explode("disallow_prefixes").alias("pref")
                 )
                 blocked = (
-                    selected.join(F.broadcast(r), "host")
+                    selected.join(r, "host")
                     .where(
                         F.expr(
-                            "startswith(parse_url(url, 'PATH'), pref)"
+                            "startswith(try_parse_url(url, 'PATH'), pref)"
                         )
                     )
                     .select("url")
@@ -497,8 +506,24 @@ class WaveCrawl:
                 "depth",
                 F.posexplode("images").alias("img_idx", "image_url"),
             )
-            self.items_parts.append(items.persist())
-            n_items = items.count() if self.collect_metrics else -1
+            # EAGER localCheckpoint, not a lazy persist(): a lazy cache
+            # entry here keeps a many-wave union-of-join plan registered
+            # with the CacheManager, and every later unpersist() walks
+            # those entries computing plan-size statistics whose
+            # sizeInBytes estimates compound multiplicatively into
+            # astronomically large BigIntegers — tens of single-threaded
+            # CPU-minutes per wave-end release (the round-3 bench
+            # killer). The checkpoint truncates the plan to a LogicalRDD
+            # (O(1) stats), costs the one materialization pass the
+            # items count used to pay anyway, and its observation
+            # resolves on that same pass.
+            obs_items = None
+            if self.collect_metrics:
+                obs_items = Observation()
+                items = items.observe(obs_items, F.count(F.lit(1)).alias("n"))
+            items = items.localCheckpoint()
+            self.items_parts.append(items)
+            n_items = _obs_n(obs_items, items) if obs_items is not None else -1
 
             link_cand = extracted.select(
                 F.col("enq_seq").alias("parent_seq"),
@@ -659,13 +684,19 @@ class WaveCrawl:
                 self.catalog.commit_wave(
                     self.wave, {"total_fetched": self.total_fetched}
                 )
+            # release the wave's fetch cache now that every in-wave
+            # consumer (counts, tally, items checkpoint, frontier
+            # checkpoint, catalog appends) has materialized. With the
+            # per-wave items eagerly checkpointed above, no registered
+            # cache entry references these plans anymore, so the
+            # CacheManager walk these unpersists trigger is O(live
+            # entries × bounded plans) — the timer feeds the regression
+            # guard pinning that property (round-3 stall: minutes here).
+            t_up = _time.time()
             if owns_selected:
                 selected.unpersist()
-            # release the wave's fetch cache now that every in-wave
-            # consumer (counts, tally, frontier checkpoint, catalog
-            # appends) has materialized; the lazily-persisted `items`
-            # slice recomputes from the frontier checkpoint at crawl end
             fetchable.unpersist()
+            self._unpersist_secs += _time.time() - t_up
             self._wave_persists.remove(fetchable)
             self.wave += 1
 
@@ -674,13 +705,14 @@ class WaveCrawl:
             all_items = self.items_parts[0]
             for p in self.items_parts[1:]:
                 all_items = all_items.unionByName(p)
-            # collapse the many-wave union before the ranking shuffle;
-            # localCheckpoint is EAGER, so the per-wave item persists are
-            # fully consumed once it returns — release them (plain
-            # persists, not checkpoints: recompute stays possible)
+            # collapse the many-wave union (of bounded LogicalRDD plans)
+            # before the ranking shuffle; once this eager checkpoint
+            # returns the per-wave checkpoints are unreferenced — drop
+            # the handles so the ContextCleaner reclaims their blocks
+            # (checkpoint blocks have no unpersist API; GC is the
+            # sanctioned release path)
             all_items = all_items.localCheckpoint()
-            for p in self.items_parts:
-                p.unpersist()
+            self.items_parts.clear()
         else:
             all_items = spark.createDataFrame(
                 [], "parent_seq long, source_page string, depth int, "
