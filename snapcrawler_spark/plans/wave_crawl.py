@@ -48,6 +48,9 @@ bit-exact ordering gate.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import time as _time
 from dataclasses import dataclass
 
@@ -175,6 +178,11 @@ class WaveCrawl:
         # calls; the regression guard asserts this stays O(seconds)
         # (the round-3 CacheManager stall burned minutes per release)
         self._unpersist_secs = 0.0
+        # scratch dir for wave-boundary frontier snapshots (the local
+        # stand-in for the Iceberg snapshot store); only the latest
+        # wave's file is kept. The returned frontier reads from here,
+        # so the dir outlives run().
+        self._scratch = tempfile.mkdtemp(prefix="snapcrawler_waves_")
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom
@@ -360,9 +368,8 @@ class WaveCrawl:
             else:
                 # unlimited budget: the whole frontier is this wave — skip
                 # the politeness window and the anti-join entirely.
-                # NOTE: selected aliases the localCheckpointed frontier —
-                # never unpersist it (checkpoint blocks cannot be
-                # recomputed; dropping them stalls the next wave's union)
+                # NOTE: selected aliases the parquet-backed frontier —
+                # nothing to persist or release here
                 selected = frontier
                 rest = frontier.limit(0)
                 owns_selected = False
@@ -640,19 +647,40 @@ class WaveCrawl:
                         {r.host: r.budget for r in self.budgets.collect()}
                     )
 
-            # localCheckpoint (eager) truncates the per-wave union
-            # lineage; it is also the single full pass that resolves the
-            # next wave's pending count and this wave's new-URL count
             obs_new = None
             if want_counts:
                 obs_new = Observation()
                 new_frontier = new_frontier.observe(
                     obs_new, F.count(F.lit(1)).alias("n")
                 )
+            # wave-boundary commit: parquet round-trip, NOT localCheckpoint.
+            # Dataset.localCheckpoint eagerly computes the origin plan's
+            # size-in-bytes statistics and CARRIES them onto the new
+            # LogicalRDD (LogicalRDD.fromDataset → rewriteStatsAndConstraints);
+            # because the size-only stats visitor takes the PRODUCT of
+            # child sizes for joins/cogroups, carried stats compound
+            # multiplicatively wave over wave — S_w ≈ S_{w-1}² — until a
+            # single checkpoint call burns CPU-minutes multiplying
+            # million-bit BigIntegers (jstack-proven; killed BENCH_r03
+            # and the first round-4 attempt). The frontier is the hub of
+            # that recurrence: every other per-wave plan derives from it,
+            # so re-reading it from parquet (real file-size stats, O(1))
+            # caps all carried stats at linear growth. This is also the
+            # production-faithful design — wave state lives in the
+            # snapshot store (Iceberg analog), not executor-memory
+            # lineage — and the write is the action that resolves the
+            # riding observations.
             obs_pending = Observation()
-            frontier = (
+            fr_path = os.path.join(self._scratch, f"frontier_{self.wave}")
+            (
                 rest.unionByName(new_frontier).unionByName(retries)
-            ).observe(obs_pending, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            ).observe(obs_pending, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(fr_path)
+            frontier = spark.read.parquet(fr_path)
+            prev = os.path.join(self._scratch, f"frontier_{self.wave - 1}")
+            if os.path.isdir(prev):
+                shutil.rmtree(prev, ignore_errors=True)
             pending_next = _obs_n(obs_pending, frontier)
             n_new = _obs_n(obs_new, new_frontier) if obs_new is not None else -1
             self.total_fetched += n_selected
