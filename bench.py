@@ -155,13 +155,17 @@ def hardware_ceiling() -> dict:
     )
 
 
-def probe_ladder() -> dict:
-    """Bloom-probe scaling ladder with both strong and weak points.
+_WEAK_N = {2: 1_000_000, 8: 4_000_000, 32: 16_000_000}
+_LADDER_SP = {2: 8, 8: 32, 32: 64}
 
-    Strong: fixed 4M URLs at 2/8/32 threads. Weak: 1M@2, 4M@8, 16M@32
-    (4x the data with 4x the threads). Best-of-2 per point — identical
-    trials on this VM vary by up to ~3x, so single-shot efficiencies are
-    noise; BASELINE.md reports the bests plus the observed spread."""
+
+def probe_point(cores: int) -> dict:
+    """One ladder point (strong + weak) at the given core count. Run in
+    its OWN process: rounds 3-4 both saw the in-sequence 32-thread point
+    degrade 8-20x (57-118 s for a probe that measures 5-7 s in a fresh
+    process minutes later) when the whole ladder shared one JVM —
+    leftover session/JVM state from the earlier points contaminates the
+    measurement. Fresh subprocess per point isolates it."""
     from pyspark.sql import functions as F
 
     from snapcrawler_spark.operators.seen import BloomSeenSet
@@ -190,27 +194,57 @@ def probe_ladder() -> dict:
             times.append(time.time() - t0)
         return times
 
-    out = {"strong": {}, "weak": {}}
-    weak_n = {2: 1_000_000, 8: 4_000_000, 32: 16_000_000}
-    for cores, sp in ((2, 8), (8, 32), (32, 64)):
-        spark = _get_spark(cores)
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
-        w = spark.range(10).select(F.concat(F.lit("w"), "id").alias("url"))
-        BloomSeenSet(spark, partitions=8).probe_and_insert(w).count()
-        ts = run(spark, 4_000_000)
-        out["strong"][cores] = dict(
+    spark = _get_spark(cores)
+    spark.conf.set("spark.sql.shuffle.partitions", str(_LADDER_SP[cores]))
+    w = spark.range(10).select(F.concat(F.lit("w"), "id").alias("url"))
+    BloomSeenSet(spark, partitions=8).probe_and_insert(w).count()
+    ts = run(spark, 4_000_000)
+    tw = run(spark, _WEAK_N[cores])
+    spark.stop()
+    return dict(
+        strong=dict(
             best_secs=round(min(ts), 2),
             trials=[round(t, 2) for t in ts],
             urls_per_sec=round(8_000_000 / min(ts), 0),
-        )
-        tw = run(spark, weak_n[cores])
-        out["weak"][cores] = dict(
-            n_urls=2 * weak_n[cores],
+        ),
+        weak=dict(
+            n_urls=2 * _WEAK_N[cores],
             best_secs=round(min(tw), 2),
             trials=[round(t, 2) for t in tw],
-            urls_per_sec=round(2 * weak_n[cores] / min(tw), 0),
+            urls_per_sec=round(2 * _WEAK_N[cores] / min(tw), 0),
+        ),
+    )
+
+
+def _run_point_subprocess(args: list[str]) -> dict:
+    """Run `bench.py <args>` in a fresh interpreter; parse its one JSON
+    line (last stdout line starting with '{')."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench point {args} failed rc={proc.returncode}: "
+            f"{proc.stderr[-2000:]}"
         )
-        spark.stop()
+    return json.loads(lines[-1])
+
+
+def probe_ladder() -> dict:
+    """Bloom-probe scaling ladder with both strong and weak points.
+
+    Strong: fixed 4M URLs at 2/8/32 threads. Weak: 1M@2, 4M@8, 16M@32
+    (4x the data with 4x the threads). Best-of-2 per point; each point
+    runs in a fresh subprocess (see probe_point)."""
+    out = {"strong": {}, "weak": {}}
+    for cores in (2, 8, 32):
+        point = _run_point_subprocess(["--probe-point", str(cores)])
+        out["strong"][cores] = point["strong"]
+        out["weak"][cores] = point["weak"]
     s = out["strong"]
     w = out["weak"]
     out["strong_eff_2_8"] = round(s[2]["best_secs"] / (4 * s[8]["best_secs"]), 3)
@@ -238,14 +272,29 @@ def main() -> None:
     cores = int(cpus) if cpus else None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    if "--probe-point" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--probe-point") + 1])
+        print(json.dumps(probe_point(cores)))
+        return
+
+    if "--crawl-point" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--crawl-point") + 1])
+        web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
+        spark = _get_spark(cores)
+        out = crawl_throughput(spark, web_root)
+        spark.stop()
+        print(json.dumps(out))
+        return
+
     if "--scaling" in sys.argv:
         hw = hardware_ceiling()
-        web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
-        results = {}
-        for c in (8, 32):
-            spark = _get_spark(c)
-            results[c] = crawl_throughput(spark, web_root)
-            spark.stop()
+        _ensure_web_fixture(BENCH_WEB_SCALE)
+        # one fresh subprocess per point — same isolation rationale as
+        # probe_point (in-sequence same-JVM points measured 8-20x slow)
+        results = {
+            c: _run_point_subprocess(["--crawl-point", str(c)])
+            for c in (8, 32)
+        }
         ladder = probe_ladder()
         t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
         eff = round(t32 / (4 * t8), 3)
