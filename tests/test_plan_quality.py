@@ -149,3 +149,32 @@ class TestPlanQuality:
 
         plan = _optimized(simhash(spark, "/root/testdata/sf0.001"))
         assert plan.count("Generate") == 1, plan[:2000]
+
+    def test_wave_frontier_is_snapshot_backed(self, spark, web_xs):
+        """Round-4 stats-compounding guard: the wave loop must commit
+        each frontier through the parquet snapshot store, NOT through
+        Dataset.localCheckpoint. localCheckpoint eagerly computes and
+        CARRIES the origin plan's size-in-bytes stats onto the new leaf;
+        with the size-only visitor multiplying child sizes for joins and
+        cogroups, carried stats compound S_w ~ S_{w-1}^2 across waves
+        until one checkpoint call burns CPU-minutes in million-bit
+        BigInteger math (killed BENCH_r03 and the first r4 bench). A
+        parquet-backed leaf carries real file-size stats instead."""
+        from snapcrawler_spark.conf import CrawlConfig
+        from snapcrawler_spark.io import fixture_to_spark
+        from snapcrawler_spark.plans.wave_crawl import WaveCrawl
+
+        cfg = CrawlConfig(
+            seeds=tuple(web_xs["seeds"].seed_url), host_budget=0
+        )
+        run = WaveCrawl(
+            spark, fixture_to_spark(spark, web_xs), cfg,
+            seen_kind="exact", collect_metrics=False,
+        ).run()
+        frontier = run["frontier"]
+        opt = _optimized(frontier)
+        assert "parquet" in opt.lower(), opt[:500]
+        assert "LogicalRDD" not in opt, opt[:500]
+        # carried stats must be the file's real size — a bounded number
+        size = frontier._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        assert int(str(size)) < 1 << 40, f"frontier stats blew up: {size}"
