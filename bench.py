@@ -106,6 +106,7 @@ def crawl_throughput(spark, web_root: str) -> dict:
         count_candidates=True,
     )
     run = wc.run(max_waves=64)
+    t_waves = time.time() - t0
     n_accepted = run["accepted"].count()  # forces the image pipeline too
     secs = time.time() - t0
     fetched = run["total_fetched"]
@@ -114,6 +115,8 @@ def crawl_throughput(spark, web_root: str) -> dict:
     uniques = run["seen"].exact.count()
     # legacy (round-1) numerator: every candidate probed, incl. re-probes
     candidates = run["total_candidates"]
+    phases = {k: round(v, 1) for k, v in wc.phase_secs.items()}
+    phases["image_phase"] = round(secs - t_waves, 1)
     return dict(
         crawl_secs=round(secs, 2),
         fetched=fetched,
@@ -121,6 +124,7 @@ def crawl_throughput(spark, web_root: str) -> dict:
         candidates_probed=candidates,
         accepted=n_accepted,
         waves=run["waves"],
+        phases=phases,
         urls_per_sec=round((fetched + uniques) / secs, 1),
         urls_per_sec_legacy=round((fetched + candidates) / secs, 1),
     )

@@ -178,6 +178,12 @@ class WaveCrawl:
         # calls; the regression guard asserts this stays O(seconds)
         # (the round-3 CacheManager stall burned minutes per release)
         self._unpersist_secs = 0.0
+        # per-phase wall-second accumulators, keyed by the blocking
+        # driver call that runs each wave's jobs (laziness means each
+        # phase includes everything computed since the previous action):
+        # md5_probe = politeness+fetch+md5 window; seen_probe =
+        # extraction+cand window+bloom cogroup; items_ckpt; frontier_commit
+        self.phase_secs: dict[str, float] = {}
         # scratch dir for wave-boundary frontier snapshots (the local
         # stand-in for the Iceberg snapshot store); only the latest
         # wave's file is kept. The returned frontier reads from here,
@@ -302,6 +308,7 @@ class WaveCrawl:
         )
 
     def run(self, max_waves: int = 64) -> dict:
+        t_run0 = _time.time()
         cfg = self.cfg
         spark = self.spark
         pages = self.t["pages"]
@@ -346,7 +353,9 @@ class WaveCrawl:
         # resume) pays one count.
         pending_next: int | None = None
         end_wave = self.wave + max_waves
+        self.phase_secs["setup"] = _time.time() - t_run0
         while self.wave < end_wave:
+            t_wave0 = _time.time()
             pending_n = (
                 pending_next if pending_next is not None else frontier.count()
             )
@@ -479,10 +488,14 @@ class WaveCrawl:
             )
             ok = ok.withColumn("md5_rank", F.row_number().over(w_md5))
             firsts = ok.where(F.col("md5_rank") == 1)
+            t_ph = _time.time()
             probed = self.md5_seen.probe_and_insert(
                 firsts.select(F.col("content_md5").alias("url")),
                 assume_unique=True,
             ).withColumnRenamed("url", "content_md5")
+            self.phase_secs["md5_probe"] = (
+                self.phase_secs.get("md5_probe", 0.0) + _time.time() - t_ph
+            )
             fresh = firsts.join(
                 probed.where("was_new").select("content_md5"), "content_md5"
             )
@@ -496,7 +509,10 @@ class WaveCrawl:
             n_selected = _obs_n(obs_sel, fetchable)
             n_ok = _obs_n(obs_ok, ok) if obs_ok is not None else -1
 
-            # extraction over fresh pages only
+            # extraction over fresh pages only. Persisted: three jobs
+            # consume it this wave (items checkpoint, seen cogroup via
+            # cands, frontier commit via probed→new_frontier) — without
+            # the cache the extraction join re-executes in each.
             extracted = extract_from_tables(
                 fresh.select(F.col("url"), F.col("base")),
                 self.t["links"],
@@ -505,7 +521,8 @@ class WaveCrawl:
                 self.allowed_hosts,
             ).join(
                 fresh.select("url", "depth", "enq_seq", "priority"), "url"
-            )
+            ).persist()
+            self._wave_persists.append(extracted)
 
             items = extracted.select(
                 F.col("enq_seq").alias("parent_seq"),
@@ -528,7 +545,11 @@ class WaveCrawl:
             if self.collect_metrics:
                 obs_items = Observation()
                 items = items.observe(obs_items, F.count(F.lit(1)).alias("n"))
+            t_ph = _time.time()
             items = items.localCheckpoint()
+            self.phase_secs["items_ckpt"] = (
+                self.phase_secs.get("items_ckpt", 0.0) + _time.time() - t_ph
+            )
             self.items_parts.append(items)
             n_items = _obs_n(obs_items, items) if obs_items is not None else -1
 
@@ -559,9 +580,14 @@ class WaveCrawl:
             w_cand = Window.partitionBy("url").orderBy(
                 "priority", "parent_seq", "link_idx"
             )
+            # persisted: the seen cogroup job and the frontier-commit
+            # job (probe_and_insert joins verdict flags back onto this
+            # plan) both consume it — cache instead of re-running the
+            # dedup window twice
             cands = cands.withColumn(
                 "cand_rank", F.row_number().over(w_cand)
-            ).where(F.col("cand_rank") == 1).drop("cand_rank")
+            ).where(F.col("cand_rank") == 1).drop("cand_rank").persist()
+            self._wave_persists.append(cands)
             want_counts = self.collect_metrics or self.catalog is not None
             obs_cands = None
             if want_counts or self.count_candidates:
@@ -572,7 +598,11 @@ class WaveCrawl:
 
             # the seen probe's eager cogroup checkpoint scans every cands
             # partition — cands/fresh observations resolve here for free
+            t_ph = _time.time()
             probed = self.seen.probe_and_insert(cands, assume_unique=True)
+            self.phase_secs["seen_probe"] = (
+                self.phase_secs.get("seen_probe", 0.0) + _time.time() - t_ph
+            )
             n_cands = (
                 _obs_n(obs_cands, cands) if obs_cands is not None else -1
             )
@@ -672,12 +702,29 @@ class WaveCrawl:
             # riding observations.
             obs_pending = Observation()
             fr_path = os.path.join(self._scratch, f"frontier_{self.wave}")
+            t_ph = _time.time()
+            # size the snapshot's file count from the pending estimate
+            # (~4M rows ≈ 128 MB per file): small frontiers write ONE
+            # file instead of one per upstream task — file-commit and
+            # task-schedule overhead is the dominant cost of the commit
+            # at micro-batch sizes, while at 10^10 pending rows this
+            # yields thousands of files and full write parallelism.
+            # coalesce (not repartition): no extra shuffle; upstream
+            # stages keep their own parallelism past the last exchange.
+            est = max(pending_n, n_cands if n_cands > 0 else 0)
+            n_files = max(1, min(4096, est // 4_000_000 + 1))
             (
                 rest.unionByName(new_frontier).unionByName(retries)
-            ).observe(obs_pending, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(fr_path)
-            frontier = spark.read.parquet(fr_path)
+            ).coalesce(n_files).observe(
+                obs_pending, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(fr_path)
+            # explicit schema: skips the per-wave footer-inference pass
+            # (parquet fields resolve by name, so column order is free)
+            frontier = spark.read.schema(frontier.schema).parquet(fr_path)
+            self.phase_secs["frontier_commit"] = (
+                self.phase_secs.get("frontier_commit", 0.0)
+                + _time.time() - t_ph
+            )
             prev = os.path.join(self._scratch, f"frontier_{self.wave - 1}")
             if os.path.isdir(prev):
                 shutil.rmtree(prev, ignore_errors=True)
@@ -723,12 +770,23 @@ class WaveCrawl:
             t_up = _time.time()
             if owns_selected:
                 selected.unpersist()
-            fetchable.unpersist()
+            # release the tracked handles (the persisted plans, not any
+            # wrapper rebindings) in reverse dependency order
+            # (cands → extracted → fetchable): each unpersist's
+            # CacheManager walk then never has to rebuild a
+            # still-registered entry whose plan contains the one being
+            # dropped
+            for df_ in reversed(self._wave_persists):
+                df_.unpersist()
+            self._wave_persists.clear()
             self._unpersist_secs += _time.time() - t_up
-            self._wave_persists.remove(fetchable)
+            self.phase_secs["wave_wall"] = (
+                self.phase_secs.get("wave_wall", 0.0) + _time.time() - t_wave0
+            )
             self.wave += 1
 
         # ---- image phase over all items (deterministic wave-major order)
+        t_fin = _time.time()
         if self.items_parts:
             all_items = self.items_parts[0]
             for p in self.items_parts[1:]:
@@ -756,6 +814,7 @@ class WaveCrawl:
         accepted, rejections = image_pipeline(
             items_seq, self.t["image_fetch"], self.t["images"], cfg
         )
+        self.phase_secs["finalize"] = _time.time() - t_fin
         if self.tally_parts:
             fetch_tally = self.tally_parts[0]
             for p in self.tally_parts[1:]:
