@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.dedup_exact,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_cluster": _dedup.dedup_cluster,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
         "ann_brute_force": _ann.ann_brute_force,
@@ -511,7 +512,7 @@ def _ann_ivf_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     nm = _dedup.N_MINHASH
     rpb = _dedup.N_MINHASH // _dedup.LSH_BANDS
-    return {
+    sqls = {
         "scan_filter": """
             SELECT l_orderkey, l_linenumber,
                    cast(round(l_quantity * 100) as bigint) AS qty_cents
@@ -948,3 +949,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY label ORDER BY label
         """,
     }
+    # connected-components resolution over the minhash near-dup pairs:
+    # reachability closure via a recursive CTE — min reachable doc_id is
+    # the cluster id (exactly the fixpoint of the engine's hash-min
+    # label propagation, pipeline/dedup.dedup_cluster)
+    sqls["dedup_cluster"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({sqls['dedup_minhash_lsh']}) q
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), verts AS (
+          SELECT DISTINCT src AS doc_id FROM edges
+        ), reach AS (
+          SELECT doc_id, doc_id AS r FROM verts
+          UNION
+          SELECT re.doc_id, e.dst AS r
+          FROM reach re JOIN edges e ON re.r = e.src
+        )
+        SELECT doc_id, min(r) AS cluster_id,
+               (min(r) = doc_id) AS is_canonical
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+    """
+    return sqls

@@ -41,6 +41,7 @@ HEADLINE_QUERIES = [
     "counter_tally",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster",
     "dedup_simhash",
     "ann_brute_force",
     "text_quality_score",

@@ -232,8 +232,10 @@ def extract_from_html(
         )
 
     srcset_urls = F.concat(
-        _srcset_flat(r'<(?:img|source)\b[^>]*?\ssrcset="([^"]+)"'),
-        _srcset_flat(r'<(?:img|source)\b[^>]*?\sdata-srcset="([^"]+)"'),
+        _srcset_flat(r"""<(?:img|source)\b[^>]*?\ssrcset=["']([^"']+)["']"""),
+        _srcset_flat(
+            r"""<(?:img|source)\b[^>]*?\sdata-srcset=["']([^"']+)["']"""
+        ),
     )
 
     # per-<img>-tag src fallback chain (crawling_module.py:271:
@@ -242,8 +244,13 @@ def extract_from_html(
     # first present, NOT the union of separate channels. The lookbehind
     # keeps `src=` from matching inside `data-src=`/`data-lazy-src=`.
     def _attr(tag, name: str):
+        # both quote styles (BeautifulSoup parses either; the fixture
+        # emits double quotes, so table≡html equivalence is unaffected)
         return F.nullif(
-            F.regexp_extract(tag, rf'(?<![\w-]){name}="([^"]+)"', 1), F.lit("")
+            F.regexp_extract(
+                tag, rf'(?<![\w-]){name}=["\']([^"\']+)["\']', 1
+            ),
+            F.lit(""),
         )
 
     imgtag_urls = F.filter(
@@ -259,7 +266,9 @@ def extract_from_html(
     raw = wave_pages.select(
         "url",
         imgtag_urls.alias("c_imgtag"),
-        F.regexp_extract_all(h, F.lit(r'data-file-url="([^"]+)"'), 1).alias("c_file"),
+        F.regexp_extract_all(
+            h, F.lit(r"""data-file-url=["']([^"']+)["']"""), 1
+        ).alias("c_file"),
         F.regexp_extract_all(
             h, F.lit(r"""url\(["']?([^"')]+)["']?\)"""), 1
         ).alias("c_css"),
@@ -341,14 +350,17 @@ def extract_from_html(
         F.regexp_extract_all(
             h,
             F.lit(
-                r'data-(?:background-image|full-src|original|srcset'
-                r'|image|thumb|lazy|bg)="([^"]+)"'
+                r"""data-(?:background-image|full-src|original|srcset"""
+                r"""|image|thumb|lazy|bg)=["']([^"']+)["']"""
             ),
             1,
         ).alias("c_databg"),
-        F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"><img'), 1).alias("c_pa"),
-        F.regexp_extract_all(h, F.lit(r'<a href="([^"]+)"')
-                             , 1).alias("c_a"),
+        F.regexp_extract_all(
+            h, F.lit(r"""<a href=["']([^"']+)["']><img"""), 1
+        ).alias("c_pa"),
+        F.regexp_extract_all(
+            h, F.lit(r"""<a href=["']([^"']+)["']"""), 1
+        ).alias("c_a"),
     )
     # absolutize each channel against the page URL
     for c in ["c_imgtag", "c_file", "c_css", "c_srcset", "c_ajax",

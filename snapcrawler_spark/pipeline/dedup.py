@@ -296,3 +296,93 @@ def dedup_simhash(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming)
     return ham.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
+
+
+def dedup_cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected-components resolution of the near-dup pair relation:
+    (doc_id, cluster_id, is_canonical) — the keep-one-per-cluster step a
+    training-data pipeline runs after pair generation (pairs alone
+    over-delete: a~b, b~c must collapse to ONE survivor, not two
+    independent pair-wise drops).
+
+    Hash-min label propagation (the MapReduce CC algorithm of Kiveris et
+    al.): every vertex starts labeled with itself; each round takes the
+    min label over itself and its neighbors; fixpoint = min doc_id
+    reachable = cluster id. Rounds needed = graph diameter — near-dup
+    clusters are dense and shallow, so a handful; raises if max_iters is
+    hit without convergence rather than returning a half-propagated
+    labeling. At 10^10 docs each round is one shuffle-on-doc_id join +
+    groupBy over O(edges) rows; the edge set is checkpointed ONCE and
+    per-round label checkpoints keep plans bounded (carried plan-stats
+    grow linearly in rounds — see plans/wave_crawl.py on why that
+    matters). The convergence count rides the checkpoint action as an
+    Observation — no extra pass.
+    """
+    from pyspark.sql import Observation
+
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    if labels.isEmpty():
+        return labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+        )
+    for _ in range(max_iters):
+        neigh = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        obs = Observation()
+        joined = (
+            new_labels.alias("n")
+            .join(labels.select("doc_id", F.col("label").alias("old")), "doc_id")
+            .select(
+                "doc_id",
+                "label",
+                (F.col("label") != F.col("old")).cast("long").alias("chg"),
+            )
+            .observe(obs, F.sum("chg").alias("n"))
+        )
+        labels = joined.select("doc_id", "label").localCheckpoint()
+        try:
+            changed = int(obs.get.get("n") or 0)
+        except Exception:
+            changed = joined.where(F.col("chg") == 1).count()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster: no fixpoint within {max_iters} rounds "
+            "(graph diameter exceeds the bound — raise max_iters)"
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -1,0 +1,81 @@
+"""Connected-components duplicate clustering (pipeline/dedup.dedup_cluster):
+hash-min label propagation over the minhash near-dup pair graph. The
+driver gate compares it bit-exactly against a DuckDB recursive-CTE
+reachability oracle; these tests pin the graph-theoretic invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snapcrawler_spark.pipeline.dedup import dedup_cluster, dedup_minhash_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cluster_run(spark):
+    pairs = [
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF).collect()
+    ]
+    labels = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_cluster(spark, SF).collect()
+    }
+    return pairs, labels
+
+
+class TestDedupCluster:
+    def test_every_pair_endpoint_is_labeled(self, cluster_run):
+        pairs, labels = cluster_run
+        assert pairs, "fixture has no near-dup pairs — test is vacuous"
+        for a, b in pairs:
+            assert a in labels and b in labels
+
+    def test_pairs_share_a_cluster(self, cluster_run):
+        """Direct edges must be in one cluster (transitivity is what the
+        pair relation alone cannot express)."""
+        pairs, labels = cluster_run
+        for a, b in pairs:
+            assert labels[a][0] == labels[b][0], (a, b)
+
+    def test_cluster_id_is_min_member(self, cluster_run):
+        pairs, labels = cluster_run
+        members: dict[int, list[int]] = {}
+        for doc, (cid, _) in labels.items():
+            members.setdefault(cid, []).append(doc)
+        for cid, docs in members.items():
+            assert cid == min(docs)
+
+    def test_exactly_one_canonical_per_cluster(self, cluster_run):
+        _, labels = cluster_run
+        canon: dict[int, int] = {}
+        for doc, (cid, is_c) in labels.items():
+            if is_c:
+                canon[cid] = canon.get(cid, 0) + 1
+                assert doc == cid
+        assert set(canon) == {cid for cid, _ in labels.values()}
+        assert all(n == 1 for n in canon.values())
+
+    def test_clusters_are_edge_connected(self, cluster_run):
+        """No over-merging: every cluster must be connected through the
+        pair edges themselves (the oracle's reachability guarantees it;
+        this pins the engine independently)."""
+        pairs, labels = cluster_run
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        members: dict[int, set[int]] = {}
+        for doc, (cid, _) in labels.items():
+            members.setdefault(cid, set()).add(doc)
+        for cid, docs in members.items():
+            seen = {cid}
+            stack = [cid]
+            while stack:
+                v = stack.pop()
+                for w in adj.get(v, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            assert docs == seen, f"cluster {cid} not edge-connected"

@@ -147,3 +147,25 @@ class TestFixtureCoverage:
 
     def test_modern_ext_row_present(self, web_xs):
         assert any("/x4/modern_" in u for u in web_xs["page_items"].url)
+
+
+class TestQuoteStyles:
+    """BeautifulSoup parses either quote style; the regexp backend must
+    too (the fixture emits double quotes, so html≡tables equivalence is
+    unaffected by accepting both)."""
+
+    def test_single_quoted_img_src(self, spark):
+        html = "<img src='https://site0.test/sq.jpg'/>"
+        assert _extract(spark, html) == ["https://site0.test/sq.jpg"]
+
+    def test_single_quoted_fallback_chain(self, spark):
+        html = ("<img src='https://site0.test/sa.jpg' "
+                "data-src='https://site0.test/sb.jpg'/>")
+        assert _extract(spark, html) == ["https://site0.test/sa.jpg"]
+
+    def test_single_quoted_lazy_attr_and_srcset(self, spark):
+        html = ("<div data-original='https://site0.test/so.png'>z</div>"
+                "<picture><source srcset='/sp.jpg 1x'/></picture>")
+        assert _extract(spark, html) == [
+            "https://site0.test/so.png", "https://site0.test/sp.jpg"
+        ]
