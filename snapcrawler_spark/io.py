@@ -95,11 +95,33 @@ def write_fixture_parquet(web: dict, root: str) -> None:
         if name in web:
             pdf = web[name].copy()
             schema = SCHEMAS.get(name)
-            if schema is not None:
-                for f in schema.fields:
-                    if isinstance(f.dataType, T.IntegerType):
-                        pdf[f.name] = pdf[f.name].astype("int32")
-            pdf.to_parquet(f"{root}/{name}.parquet", index=False)
+            if schema is None:
+                pdf.to_parquet(f"{root}/{name}.parquet", index=False)
+                continue
+            for f in schema.fields:
+                if f.name in pdf.columns and isinstance(
+                    f.dataType, T.IntegerType
+                ):
+                    pdf[f.name] = pdf[f.name].astype("int32")
+            # an all-None string column (html at table-backend scales)
+            # infers as a null/INT32 parquet type, which the
+            # schema-pinned read then rejects — pin those to string
+            import pyarrow as pa
+
+            pa_schema = pa.Schema.from_pandas(pdf)
+            for f in schema.fields:
+                if (
+                    f.name in pdf.columns
+                    and isinstance(f.dataType, T.StringType)
+                    and pdf[f.name].isna().all()
+                ):
+                    idx = pa_schema.get_field_index(f.name)
+                    pa_schema = pa_schema.set(
+                        idx, pa.field(f.name, pa.string())
+                    )
+            pdf.to_parquet(
+                f"{root}/{name}.parquet", index=False, schema=pa_schema
+            )
 
 
 def read_fixture_parquet(spark: SparkSession, root: str) -> dict[str, DataFrame]:

@@ -93,3 +93,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) >= {"l_returnflag", "l_linestatus", "count_order"}
+
+
+def test_fixture_parquet_roundtrip_allnull_html(spark, tmp_path):
+    """Table-backend scales drop html (all-None column): the writer must
+    pin it to parquet string, or the schema-pinned read fails with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH (hit at scale l in round 4)."""
+    from snapcrawler_spark.fixtures import load_fixture
+    from snapcrawler_spark.io import read_fixture_parquet, write_fixture_parquet
+
+    web = load_fixture(42, "xs")
+    web = dict(web)
+    pages = web["pages"].copy()
+    pages["html"] = None
+    web["pages"] = pages
+    root = str(tmp_path / "webnull")
+    write_fixture_parquet(web, root)
+    tables = read_fixture_parquet(spark, root)
+    got = tables["pages"].select("url", "html").limit(5).collect()
+    assert all(r.html is None for r in got)
