@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapcrawler_spark.pipeline import ann as _ann
+from snapcrawler_spark.pipeline import corpus as _corpus
 from snapcrawler_spark.pipeline import dedup as _dedup
 from snapcrawler_spark.pipeline import text as _text
 
@@ -401,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_cluster": _dedup.dedup_cluster,
+        "corpus_build": _corpus.corpus_build,
+        "corpus_sample_stratified": _corpus.sample_stratified,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
         "ann_brute_force": _ann.ann_brute_force,
@@ -971,5 +974,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, min(r) AS cluster_id,
                (min(r) = doc_id) AS is_canonical
         FROM reach GROUP BY doc_id ORDER BY doc_id
+    """
+    # composite training-corpus pipeline: lang filter + quality
+    # threshold + exact keep-first + near-dup keep-canonical, composed
+    # from the already-oracled stages
+    sqls["corpus_build"] = f"""
+        WITH q AS (
+          SELECT doc_id, quality_e4 FROM ({sqls['text_quality_score']}) x
+        ), l AS (
+          SELECT doc_id, lang_pred FROM ({sqls['text_lang_id']}) x
+        ), clusters AS (
+          SELECT doc_id, is_canonical FROM ({sqls['dedup_cluster']}) x
+        ), hashed AS (
+          SELECT doc_id, md5(text) AS k FROM documents
+        ), keeper AS (
+          SELECT k, min(doc_id) AS keep_id FROM hashed GROUP BY k
+        )
+        SELECT h.doc_id, l.lang_pred, q.quality_e4
+        FROM hashed h
+        JOIN keeper ke ON h.k = ke.k AND h.doc_id = ke.keep_id
+        JOIN q ON q.doc_id = h.doc_id
+        JOIN l ON l.doc_id = h.doc_id
+        LEFT JOIN clusters c ON c.doc_id = h.doc_id
+        WHERE l.lang_pred = '{_corpus.KEEP_LANG}'
+          AND q.quality_e4 >= {_corpus.MIN_QUALITY_E4}
+          AND (c.doc_id IS NULL OR c.is_canonical)
+        ORDER BY h.doc_id
+    """
+    rate_cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}"
+        for lg, r in _corpus.SAMPLE_RATE_E4.items()
+    )
+    sqls["corpus_sample_stratified"] = f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 {_H60.format(x="'smp#' || cast(doc_id as varchar)")} % 10000
+                   AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < (CASE {rate_cases}
+                        ELSE {_corpus.SAMPLE_DEFAULT_E4} END)
+        ORDER BY doc_id
     """
     return sqls

@@ -178,3 +178,15 @@ class TestPlanQuality:
         # carried stats must be the file's real size — a bounded number
         size = frontier._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         assert int(str(size)) < 1 << 40, f"frontier stats blew up: {size}"
+
+    def test_stratified_sample_is_shuffle_free(self, spark):
+        """Per-language hash sampling must be a narrow map+filter over
+        the scan — no Exchange anywhere except the final presentation
+        sort (which the driver's comparison imposes, not the operator)."""
+        from snapcrawler_spark.pipeline.corpus import sample_stratified
+
+        df = sample_stratified(spark, SF)
+        plan = _optimized(df)
+        # the optimized plan is Sort <- Filter/Project <- Scan; no
+        # aggregation or join anywhere
+        assert "Join" not in plan and "Aggregate" not in plan, plan[:800]
