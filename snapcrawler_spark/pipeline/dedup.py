@@ -298,43 +298,38 @@ def dedup_simhash(
     return ham.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
 
-def dedup_cluster(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = 0.5,
-    max_iters: int = 30,
+def connected_components(
+    pairs: DataFrame, max_iters: int = 64
 ) -> DataFrame:
-    """Connected-components resolution of the near-dup pair relation:
-    (doc_id, cluster_id, is_canonical) — the keep-one-per-cluster step a
-    training-data pipeline runs after pair generation (pairs alone
-    over-delete: a~b, b~c must collapse to ONE survivor, not two
-    independent pair-wise drops).
+    """(doc_a, doc_b) undirected pair relation → (doc_id, label) where
+    label = min vertex id of each connected component.
 
-    Hash-min label propagation (the MapReduce CC algorithm of Kiveris et
-    al.): every vertex starts labeled with itself; each round takes the
-    min label over itself and its neighbors; fixpoint = min doc_id
-    reachable = cluster id. Rounds needed = graph diameter — near-dup
-    clusters are dense and shallow, so a handful; raises if max_iters is
-    hit without convergence rather than returning a half-propagated
-    labeling. At 10^10 docs each round is one shuffle-on-doc_id join +
-    groupBy over O(edges) rows; the edge set is checkpointed ONCE and
+    Hash-min label propagation WITH pointer jumping: each round first
+    takes the min label over self∪neighbors (one shuffle join + groupBy
+    over O(edges) rows), then compresses paths by looking the new label
+    up through itself — l(v) ← l(l(v)) — so a chain of length n
+    converges in O(log n) rounds instead of O(n) (plain hash-min is
+    O(diameter): a 100-link near-dup drift chain would exceed any
+    sensible round bound). Fixpoint: labels constant across every edge
+    and idempotent under lookup ⇒ every vertex carries its component's
+    min id — the same fixpoint DuckDB's recursive-CTE reachability
+    oracle computes, just reached in logarithmically many shuffles.
+
+    Scale notes: the symmetrized edge set is checkpointed ONCE;
     per-round label checkpoints keep plans bounded (carried plan-stats
     grow linearly in rounds — see plans/wave_crawl.py on why that
-    matters). The convergence count rides the checkpoint action as an
-    Observation — no extra pass.
-    """
+    matters); the convergence count rides the checkpoint action as an
+    Observation — no extra pass. Raises if max_iters is hit without
+    convergence rather than returning a half-propagated labeling."""
     from pyspark.sql import Observation
 
-    pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select(
-        "doc_a", "doc_b"
-    )
     edges = (
-        pairs.unionByName(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
             pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
     labels = (
@@ -344,24 +339,29 @@ def dedup_cluster(
         .localCheckpoint()
     )
     if labels.isEmpty():
-        return labels.select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.lit(True).alias("is_canonical"),
-        )
+        return labels
     for _ in range(max_iters):
         neigh = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
-        new_labels = (
+        mins = (
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
+        # pointer jump: l(v) ← l(l(v)). Every label value is a vertex id
+        # of the same component, so the self-join lookup always hits.
+        lmap = mins.select(
+            F.col("doc_id").alias("ref"), F.col("label").alias("label2")
+        )
+        jumped = mins.join(lmap, mins.label == lmap.ref).select(
+            "doc_id", F.col("label2").alias("label")
+        )
         obs = Observation()
         joined = (
-            new_labels.alias("n")
-            .join(labels.select("doc_id", F.col("label").alias("old")), "doc_id")
+            jumped.join(
+                labels.select("doc_id", F.col("label").alias("old")), "doc_id"
+            )
             .select(
                 "doc_id",
                 "label",
@@ -378,9 +378,29 @@ def dedup_cluster(
             break
     else:
         raise RuntimeError(
-            f"dedup_cluster: no fixpoint within {max_iters} rounds "
-            "(graph diameter exceeds the bound — raise max_iters)"
+            f"connected_components: no fixpoint within {max_iters} rounds"
         )
+    return labels
+
+
+def dedup_cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Connected-components resolution of the near-dup pair relation:
+    (doc_id, cluster_id, is_canonical) — the keep-one-per-cluster step a
+    training-data pipeline runs after pair generation (pairs alone
+    over-delete: a~b, b~c must collapse to ONE survivor, not two
+    independent pair-wise drops). See ``connected_components`` for the
+    algorithm and scale analysis; property tests compare it against a
+    union-find oracle on adversarial graph shapes
+    (tests/test_dedup_cluster.py)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs, max_iters=max_iters)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -79,3 +79,62 @@ class TestDedupCluster:
                         seen.add(w)
                         stack.append(w)
             assert docs == seen, f"cluster {cid} not edge-connected"
+
+
+def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: vertex -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+GRAPHS = {
+    # a long chain: plain hash-min needs O(n) rounds — pointer jumping
+    # must solve it within the O(log n) budget
+    "chain60": [(i, i + 1) for i in range(60)],
+    "star": [(0, i) for i in range(1, 20)],
+    "two_components": [(1, 2), (2, 3), (10, 11), (12, 11)],
+    "cycle_plus_tail": [(0, 1), (1, 2), (2, 0), (2, 7), (7, 9)],
+    "dupe_edges_reversed": [(5, 3), (3, 5), (5, 3), (3, 4)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_connected_components_matches_union_find(spark, name):
+    from snapcrawler_spark.pipeline.dedup import connected_components
+
+    edges = GRAPHS[name]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.label for r in connected_components(df).collect()
+    }
+    assert got == _uf_oracle(edges)
+
+
+def test_connected_components_random_graphs(spark):
+    """Seeded random sparse graphs vs union-find — ids non-contiguous to
+    catch any dense-index assumption."""
+    import random
+
+    from snapcrawler_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(7)
+    ids = [rng.randrange(10**9) for _ in range(120)]
+    edges = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.label for r in connected_components(df).collect()}
+    assert got == _uf_oracle(edges)
