@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _corpus.sample_stratified,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
+        "dedup_embedding_cluster": _ann.dedup_embedding_cluster,
         "ann_brute_force": _ann.ann_brute_force,
         "ann_lsh": _ann.ann_lsh,
         "ann_lsh_multi": _ann.ann_lsh_multi,
@@ -1016,5 +1017,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE bucket < (CASE {rate_cases}
                         ELSE {_corpus.SAMPLE_DEFAULT_E4} END)
         ORDER BY doc_id
+    """
+    sqls["dedup_embedding_cluster"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT vec_a, vec_b FROM ({sqls['dedup_embedding_cosine']}) q
+        ), edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL
+          SELECT vec_b AS src, vec_a AS dst FROM pairs
+        ), verts AS (
+          SELECT DISTINCT src AS vec_id FROM edges
+        ), reach AS (
+          SELECT vec_id, vec_id AS r FROM verts
+          UNION
+          SELECT re.vec_id, e.dst AS r
+          FROM reach re JOIN edges e ON re.r = e.src
+        )
+        SELECT vec_id, min(r) AS cluster_id,
+               (min(r) = vec_id) AS is_canonical
+        FROM reach GROUP BY vec_id ORDER BY vec_id
     """
     return sqls

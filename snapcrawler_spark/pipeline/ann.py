@@ -430,3 +430,22 @@ def norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup resolution: the embedding-cosine near-dup pairs
+    collapsed into connected components (vec_id, cluster_id,
+    is_canonical) via the shared pointer-jumping CC operator — the
+    keep-one-per-cluster step for embedding-level duplicates, exactly
+    parallel to pipeline/dedup.dedup_cluster for text."""
+    from snapcrawler_spark.pipeline.dedup import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    ).orderBy("vec_id")
