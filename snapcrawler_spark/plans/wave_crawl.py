@@ -372,8 +372,10 @@ class WaveCrawl:
                     hot_threshold=cfg.extra.get("hot_threshold", 0),
                     salt_buckets=cfg.hot_host_salt,
                 ).persist()
+                # tracked handle: released at wave end with the others
+                # (the variable gets rebound by the depth filter below)
+                self._wave_persists.append(selected)
                 rest = frontier.join(selected.select("url"), "url", "left_anti")
-                owns_selected = True
             else:
                 # unlimited budget: the whole frontier is this wave — skip
                 # the politeness window and the anti-join entirely.
@@ -381,7 +383,15 @@ class WaveCrawl:
                 # nothing to persist or release here
                 selected = frontier
                 rest = frontier.limit(0)
-                owns_selected = False
+
+            # depth cap BEFORE the robots gate: the reference's run loop
+            # checks depth and `continue`s before consulting robots
+            # (crawling_module.py:186-188 → :191), so a depth-capped
+            # disallowed URL is skipped, NOT counted robots-blocked —
+            # gate order is observable through the blocked counter
+            # (pinned by test_wave_robots_blocked_metric_matches_oracle)
+            if cfg.max_depth > 0:
+                selected = selected.where(F.col("depth") < cfg.max_depth)
 
             # robots gate (engine capability; reference analog: scrapy
             # ROBOTSTXT_OBEY, settings.py:34)
@@ -403,14 +413,19 @@ class WaveCrawl:
                     .select("url")
                     .distinct()
                 )
+                # blocked is a subtree of the fetchable anti-join, which
+                # the md5-probe job scans — the count rides that job as
+                # an observation instead of a dedicated action
+                obs_blocked = Observation()
+                blocked = blocked.observe(
+                    obs_blocked, F.count(F.lit(1)).alias("n")
+                )
                 fetchable = selected.join(blocked, "url", "left_anti")
-                n_blocked = blocked.count()
+                n_blocked = -1
             else:
                 fetchable = selected
                 n_blocked = 0
 
-            if cfg.max_depth > 0:
-                fetchable = fetchable.where(F.col("depth") < cfg.max_depth)
 
             # fetch: base URL (fragment stripped) against the pages corpus.
             # persist: `hit` fans out to ok/retries/tally within the wave;
@@ -508,6 +523,8 @@ class WaveCrawl:
             # observations are resolved, no count() jobs needed
             n_selected = _obs_n(obs_sel, fetchable)
             n_ok = _obs_n(obs_ok, ok) if obs_ok is not None else -1
+            if n_blocked < 0:
+                n_blocked = _obs_n(obs_blocked, blocked)
 
             # extraction over fresh pages only. Persisted: three jobs
             # consume it this wave (items checkpoint, seen cogroup via
@@ -768,12 +785,10 @@ class WaveCrawl:
             # entries × bounded plans) — the timer feeds the regression
             # guard pinning that property (round-3 stall: minutes here).
             t_up = _time.time()
-            if owns_selected:
-                selected.unpersist()
             # release the tracked handles (the persisted plans, not any
             # wrapper rebindings) in reverse dependency order
-            # (cands → extracted → fetchable): each unpersist's
-            # CacheManager walk then never has to rebuild a
+            # (cands → extracted → fetchable → selected): each
+            # unpersist's CacheManager walk then never has to rebuild a
             # still-registered entry whose plan contains the one being
             # dropped
             for df_ in reversed(self._wave_persists):

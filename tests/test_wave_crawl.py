@@ -155,3 +155,21 @@ class TestResume:
             for r in committed.select("image_url", "source_page").collect()
         )
         assert sorted(res_items + pre) == full_items
+
+
+def test_wave_robots_blocked_metric_matches_oracle(spark, web_s):
+    """The per-wave robots_blocked counter (an Observation riding the
+    md5-probe job since round 4 — no dedicated count action) must total
+    the oracle's blocked-URL count. Uses the s-scale web: at xs no
+    disallowed URL happens to be reachable, which would make this
+    vacuous (the 42-seed xs draw has no /p/private page on a
+    disallow-bearing host)."""
+    cfg = _cfg(web_s, extra={"robots_enabled": True})
+    run = WaveCrawl(
+        spark, fixture_to_spark(spark, web_s), cfg, seen_kind="exact"
+    ).run()
+    oracle = crawl_oracle(web_s, cfg)
+    assert oracle.robots_blocked, "no blocked URLs — test is vacuous"
+    assert sum(m.robots_blocked for m in run["metrics"]) == len(
+        oracle.robots_blocked
+    )
