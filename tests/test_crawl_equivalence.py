@@ -113,6 +113,17 @@ def test_engine_matches_oracle_s(spark, web_s):
     _assert_equivalent(_run_engine(spark, web_s, cfg), crawl_oracle(web_s, cfg))
 
 
+def test_engine_matches_oracle_s_robots_with_depth_cap(spark, web_s):
+    """Depth cap + robots TOGETHER (xs has no reachable disallowed URL,
+    so only the s web makes this non-vacuous): the reference checks
+    depth before robots, so a depth-capped disallowed URL is dropped
+    silently, never counted blocked — gate order is observable."""
+    cfg = _cfg(web_s, max_depth=4, extra={"robots_enabled": True})
+    oracle = crawl_oracle(web_s, cfg)
+    assert oracle.robots_blocked, "no blocked URLs — case is vacuous"
+    _assert_equivalent(_run_engine(spark, web_s, cfg), oracle)
+
+
 def test_html_extraction_backend_equivalent(spark, web_xs):
     cfg = _cfg(web_xs)
     _assert_equivalent(
