@@ -102,22 +102,37 @@ def write_fixture_parquet(web: dict, root: str) -> None:
                 if f.name in pdf.columns and isinstance(
                     f.dataType, T.IntegerType
                 ):
-                    pdf[f.name] = pdf[f.name].astype("int32")
-            # an all-None string column (html at table-backend scales)
-            # infers as a null/INT32 parquet type, which the
-            # schema-pinned read then rejects — pin those to string
+                    # nullable Int32 (not astype('int32')): a column
+                    # carrying None — including the all-None degenerate
+                    # case — survives the cast as pd.NA instead of
+                    # crashing int() on NoneType
+                    pdf[f.name] = pd.array(pdf[f.name], dtype="Int32")
+            # an all-None column (html at table-backend scales) infers
+            # as a null parquet type, which the schema-pinned read then
+            # rejects — pin EVERY schema-declared field's arrow type,
+            # not just strings (same all-null failure class for ints,
+            # doubles, binaries, ...)
             import pyarrow as pa
 
+            _PA = {
+                T.StringType: pa.string(),
+                T.IntegerType: pa.int32(),
+                T.LongType: pa.int64(),
+                T.DoubleType: pa.float64(),
+                T.BinaryType: pa.binary(),
+            }
             pa_schema = pa.Schema.from_pandas(pdf)
             for f in schema.fields:
-                if (
-                    f.name in pdf.columns
-                    and isinstance(f.dataType, T.StringType)
-                    and pdf[f.name].isna().all()
-                ):
+                if f.name not in pdf.columns or not pdf[f.name].isna().all():
+                    continue
+                if isinstance(f.dataType, T.ArrayType):
+                    pa_type = pa.list_(_PA[type(f.dataType.elementType)])
+                else:
+                    pa_type = _PA.get(type(f.dataType))
+                if pa_type is not None:
                     idx = pa_schema.get_field_index(f.name)
                     pa_schema = pa_schema.set(
-                        idx, pa.field(f.name, pa.string())
+                        idx, pa.field(f.name, pa_type)
                     )
             pdf.to_parquet(
                 f"{root}/{name}.parquet", index=False, schema=pa_schema

@@ -289,11 +289,14 @@ def extract_from_html(
         # regardless of key (un-keyed array elements like
         # {"gallery": ["https://…/a.jpg"]}); is_image_url there is a
         # substring extension check on http(s) strings, mirrored here as
-        # one regexp over every <script> body
+        # one regexp over every <script> body. (?s): Java regex '.'
+        # stops at line terminators by default, but real-world script
+        # blocks span lines and the reference matches across them
+        # (it regexes the full response text)
         F.flatten(
             F.transform(
                 F.regexp_extract_all(
-                    h, F.lit(r"<script[^>]*>(.*?)</script>"), 1
+                    h, F.lit(r"(?s)<script[^>]*>(.*?)</script>"), 1
                 ),
                 lambda b: F.regexp_extract_all(
                     b,
@@ -308,11 +311,12 @@ def extract_from_html(
         # spider-mode JS sweep (image_spider.py:199-206): RELATIVE paths
         # and single-quoted strings too — any quoted string containing a
         # slash and ending in an image extension; absolutized below and
-        # re-validated downstream like every channel
+        # re-validated downstream like every channel. (?s) for
+        # multi-line script bodies, as above
         F.flatten(
             F.transform(
                 F.regexp_extract_all(
-                    h, F.lit(r"<script[^>]*>(.*?)</script>"), 1
+                    h, F.lit(r"(?s)<script[^>]*>(.*?)</script>"), 1
                 ),
                 lambda b: F.regexp_extract_all(
                     b,
@@ -333,7 +337,8 @@ def extract_from_html(
                 F.regexp_extract_all(
                     h,
                     F.lit(
-                        r'<script type="application/ld\+json">(.*?)</script>'
+                        r'(?s)<script type="application/ld\+json">'
+                        r"(.*?)</script>"
                     ),
                     1,
                 ),

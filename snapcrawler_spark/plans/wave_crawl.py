@@ -52,6 +52,7 @@ import os
 import shutil
 import tempfile
 import time as _time
+import weakref
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -83,22 +84,31 @@ _SEQ_PID_SHIFT = 28
 
 def _obs_n(obs, df) -> int:
     """Single-metric Observation value via the public ``Observation.get``
-    API, with a count() fallback.
+    API, with a count() fallback ONLY for the known degenerate case.
 
     ``Observation.get`` waits for the observed dataset's first action
     and raises on an EMPTY metrics row; the row comes back empty when
     AQE empty-relation propagation prunes the observed subtree out of
     the first completed action (e.g. a wave whose probe input is
-    empty). In that degenerate case fall back to counting the DataFrame
-    directly (near-empty plan, trivially cheap). Every observation here
-    carries exactly one COUNT metric aliased ``n``; callers invoke this
-    only after the materializing action completed, so ``get`` never
-    blocks."""
+    empty). Only in that verified case (``getRow().length() == 0``)
+    fall back to counting the DataFrame directly (near-empty plan,
+    trivially cheap); any other failure — or a metrics row missing the
+    ``n`` key (a renamed/typo'd metric) — re-raises instead of silently
+    recounting. Every observation here carries exactly one COUNT metric
+    aliased ``n``; callers invoke this only after the materializing
+    action completed, so ``get`` never blocks."""
     try:
-        n = obs.get.get("n")
+        row = obs.get
     except Exception:
-        return df.count()
-    return int(n) if n is not None else df.count()
+        jo = getattr(obs, "_jo", None)
+        if jo is not None and jo.getRow().length() == 0:
+            return df.count()
+        raise
+    if "n" not in row:
+        raise KeyError(
+            f"observation metrics missing 'n' (got {sorted(row)})"
+        )
+    return int(row["n"])
 
 
 @dataclass
@@ -187,8 +197,21 @@ class WaveCrawl:
         # scratch dir for wave-boundary frontier snapshots (the local
         # stand-in for the Iceberg snapshot store); only the latest
         # wave's file is kept. The returned frontier reads from here,
-        # so the dir outlives run().
+        # so the dir outlives run() — cleanup is deferred to close(),
+        # garbage collection of this instance, or interpreter exit
+        # (weakref.finalize registers an atexit hook), whichever comes
+        # first; tests creating many WaveCrawl instances therefore no
+        # longer leak one scratch dir each past process exit.
         self._scratch = tempfile.mkdtemp(prefix="snapcrawler_waves_")
+        self._cleanup = weakref.finalize(
+            self, shutil.rmtree, self._scratch, True
+        )
+
+    def close(self) -> None:
+        """Remove the scratch dir (frontier snapshots). Call once the
+        returned frontier DataFrame is no longer needed — it reads from
+        this dir."""
+        self._cleanup()
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom

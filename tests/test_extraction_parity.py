@@ -107,6 +107,46 @@ class TestJsSweep:
         assert _extract(spark, html) == []
 
 
+class TestMultilineScripts:
+    """(?s) in the script-body regexes (ADVICE r4, medium): Java regex
+    '.' stops at line terminators, so multi-line <script> blocks — the
+    common real-world case — were silently skipped by the ajax sweep,
+    the JS sweep and the JSON-LD channel. The reference matches across
+    newlines (it regexes the full response text)."""
+
+    def test_multiline_ajax_sweep(self, spark):
+        html = (
+            "<script>\nvar g = {\n"
+            '  "gallery": ["https://site0.test/ml.jpg"],\n'
+            '  "page": 1\n};\n</script>'
+        )
+        assert _extract(spark, html) == ["https://site0.test/ml.jpg"]
+
+    def test_multiline_js_sweep_relative(self, spark):
+        html = "<script>\nvar p = '/x/ml2.png';\npreload(p);\n</script>"
+        assert _extract(spark, html) == ["https://site0.test/x/ml2.png"]
+
+    def test_multiline_jsonld(self, spark):
+        html = (
+            '<script type="application/ld+json">\n'
+            '{"@type": "ImageObject",\n'
+            ' "content": {"url": "https://site0.test/ml3.png"}}\n'
+            "</script>"
+        )
+        assert _extract(spark, html) == ["https://site0.test/ml3.png"]
+
+    def test_two_scripts_do_not_bleed(self, spark):
+        """Non-greedy body match must still stop at the FIRST
+        </script> even in DOTALL mode — text between two script blocks
+        is not swept."""
+        html = (
+            "<script>\nvar a = 1;\n</script>"
+            '<p>"https://site0.test/not-in-script.jpg"</p>'
+            "<script>\nvar b = 2;\n</script>"
+        )
+        assert _extract(spark, html) == []
+
+
 class TestExtendedExtensions:
     @pytest.mark.parametrize(
         "ext", ["avif", "heic", "heif", "jxl", "tif", "cur", "avifs", "webp2"]
