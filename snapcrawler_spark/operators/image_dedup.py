@@ -7,19 +7,28 @@ whose 64-bit pHashes differ in a few bits. This module adds that as an
 engine extension using the same machinery family as the text SimHash
 operator (pipeline/dedup.py):
 
+- **exact-equal collapse first**: images sharing one pHash value are
+  trivially one cluster, so the heavy stages run over DISTINCT hash
+  values only. At crawl scale this is the bound that matters — B copies
+  of one logo/tracking pixel (millions at 10^10 scale) contribute ONE
+  row to the segment self-join instead of B rows colliding on all four
+  segments into ~4·B² pair rows;
 - candidates by segment pigeonhole: split the 64-bit pHash into
   ``64/seg_bits`` segments; two hashes within hamming distance h must
   agree on at least one segment when segments > h — so the self-join
   runs on (segment index, segment value) buckets, never all-pairs;
+- a doc-frequency cap on the (segment, value) buckets (the text-side
+  guard of pipeline/dedup.py:89-130) bounds residual skew: a bucket
+  holding more than ``max_segment_freq`` DISTINCT hashes is dropped
+  before the pair join (at 16-bit segments random collisions keep
+  buckets tiny — the cap only fires on adversarial inputs, trading a
+  sliver of recall for a hard quadratic bound);
 - verify with ``bit_count(a.phash ^ b.phash) <= h`` (JVM-side, one
   codegen'd expression);
-- resolve pairs into clusters with the shared pointer-jumping
-  connected-components operator (keep-one-per-cluster canonical flag).
-
-Every stage is shuffle-on-key; a hot segment value (e.g. a constant
-region many logos share) is bounded by the same doc-frequency-cap idea
-as the text shingle join if it ever matters — at 4×16-bit segments the
-bucket key space is 2^16 per segment, so random collisions stay tiny.
+- resolve into clusters with the shared pointer-jumping
+  connected-components operator over hash REPRESENTATIVES (min member
+  id per hash value), then re-attach every member to its
+  representative's cluster with one equi-join on the hash value.
 """
 
 from __future__ import annotations
@@ -31,27 +40,87 @@ from snapcrawler_spark.pipeline.dedup import connected_components
 
 PHASH_BITS = 64
 PHASH_SEGS = 4  # 16-bit segments; pigeonhole sound for hamming <= 3
+# distinct hash values allowed per (segment, value) bucket before the
+# bucket is dropped from candidate generation (skew guard — see module
+# docstring). 4096² pair rows per surviving bucket is the worst case.
+MAX_SEGMENT_FREQ = 4096
 
 
-def phash_near_dup_pairs(
-    images: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "image_id",
-    phash_col: str = "phash",
+def seeded_phash_images(spark, sf_dir: str) -> DataFrame:
+    """Deterministic (image_id, phash) table derived from the documents
+    table — the gate input for ``dedup_image_phash``.
+
+    Every doc contributes a base 60-bit portable hash (same
+    md5-hex→bigint construction as pipeline/dedup._hash60, so DuckDB
+    reproduces it bit-for-bit); seeded duplicates make the gate
+    non-vacuous at every scale factor:
+
+    - doc_id % 4 == 0 → hamming-1 twin at image_id + 10M
+    - doc_id % 10 == 0 → hamming-2 twin at image_id + 20M
+    - doc_id % 9 == 0 → EXACT copy at image_id + 30M
+
+    Random 60-bit hashes never land within hamming 3 of each other at
+    gate scales, so the expected cluster structure is exactly the
+    seeded one (and the DuckDB oracle is brute-force all-pairs, so any
+    accidental collision would agree anyway)."""
+    from snapcrawler_spark.pipeline.dedup import _hash60
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    base = d.withColumn(
+        "base",
+        _hash60(F.concat(F.lit("ph#"), F.col("doc_id").cast("string"))),
+    )
+
+    def _bit(expr: str):
+        return F.expr(
+            f"shiftleft(cast(1 as bigint), cast(({expr}) % 60 as int))"
+        )
+
+    orig = base.select(
+        F.col("doc_id").alias("image_id"), F.col("base").alias("phash")
+    )
+    near1 = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("image_id"),
+        F.col("base").bitwiseXOR(_bit("doc_id")).alias("phash"),
+    )
+    near2 = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("image_id"),
+        F.col("base")
+        .bitwiseXOR(_bit("doc_id * 7"))
+        .bitwiseXOR(_bit("doc_id * 13 + 1"))
+        .alias("phash"),
+    )
+    exact = base.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("image_id"),
+        F.col("base").alias("phash"),
+    )
+    return orig.unionByName(near1).unionByName(near2).unionByName(exact)
+
+
+def dedup_image_phash(spark, sf_dir: str) -> DataFrame:
+    """Gate entry: pHash near-dup clusters over the seeded image table
+    (image_id, cluster_id, is_canonical) — DuckDB oracle is brute-force
+    ``bit_count(xor(...))`` pairs + recursive-CTE reachability
+    (__spark_entry__.oracle_sql()['dedup_image_phash'])."""
+    return phash_clusters(seeded_phash_images(spark, sf_dir), max_hamming=3)
+
+
+def _distinct_hash_pairs(
+    hashes: DataFrame,
+    max_hamming: int,
+    max_segment_freq: int | None = MAX_SEGMENT_FREQ,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) for every pair within the hamming bound.
+    """hashes(ph: distinct 64-bit values) → (ph_a, ph_b, hamming) for
+    every pair of DISTINCT hash values within 1..max_hamming.
 
     Requires ``max_hamming < PHASH_SEGS`` (pigeonhole soundness: more
-    segments than flipped bits forces one untouched segment).
-    """
+    segments than flipped bits forces one untouched segment)."""
     assert max_hamming < PHASH_SEGS, "pigeonhole needs segs > max_hamming"
     seg_bits = PHASH_BITS // PHASH_SEGS
     mask = (1 << seg_bits) - 1
-    base = images.select(
-        F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
-    ).dropDuplicates(["id"])
-    segs = base.select(
-        "id",
+    segs = hashes.select(
         "ph",
         F.explode(
             F.array(
@@ -66,15 +135,23 @@ def phash_near_dup_pairs(
                 ]
             )
         ).alias("sv"),
-    ).select("id", "ph", F.col("sv.seg").alias("seg"), F.col("sv.seg_val").alias("seg_val"))
+    ).select("ph", F.col("sv.seg").alias("seg"), F.col("sv.seg_val").alias("seg_val"))
+    if max_segment_freq:
+        freq = segs.groupBy("seg", "seg_val").agg(
+            F.count("*").alias("seg_df")
+        )
+        segs = segs.join(
+            freq.where(F.col("seg_df") <= max_segment_freq),
+            ["seg", "seg_val"],
+        ).select("ph", "seg", "seg_val")
     a = segs.alias("a")
     b = segs.alias("b")
     return (
         a.join(b, ["seg", "seg_val"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.col("a.ph") < F.col("b.ph"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
             F.bit_count(
                 F.col("a.ph").bitwiseXOR(F.col("b.ph"))
             ).alias("hamming"),
@@ -84,23 +161,117 @@ def phash_near_dup_pairs(
     )
 
 
+def _hash_groups(images: DataFrame, id_col: str, phash_col: str) -> tuple[DataFrame, DataFrame]:
+    """(members(id, ph), groups(ph, rep, n_members)) — rep = min member
+    id per distinct hash value."""
+    members = images.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
+    ).dropDuplicates(["id"])
+    groups = members.groupBy("ph").agg(
+        F.min("id").alias("rep"), F.count("*").alias("n_members")
+    )
+    return members, groups
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_segment_freq: int | None = MAX_SEGMENT_FREQ,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for every IMAGE pair within the hamming
+    bound (id_a < id_b).
+
+    The candidate/verify stages run over distinct hash values (see
+    module docstring); member pairs are recovered afterwards — so the
+    OUTPUT is still quadratic in the size of an exact-duplicate group
+    (inherent to the pair relation: B copies really do form B(B-1)/2
+    pairs), but no internal stage is. Prefer ``phash_clusters`` at
+    scale: it never expands member pairs at all."""
+    members, groups = _hash_groups(images, id_col, phash_col)
+    hp = _distinct_hash_pairs(
+        groups.select("ph"), max_hamming, max_segment_freq
+    )
+    ma = members.select(F.col("id").alias("m_a"), F.col("ph").alias("ph_a"))
+    mb = members.select(F.col("id").alias("m_b"), F.col("ph").alias("ph_b"))
+    cross = (
+        hp.join(ma, "ph_a")
+        .join(mb, "ph_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    same = (
+        x.join(y, "ph")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 def phash_clusters(
     images: DataFrame,
     max_hamming: int = 3,
     id_col: str = "image_id",
     phash_col: str = "phash",
+    max_segment_freq: int | None = MAX_SEGMENT_FREQ,
 ) -> DataFrame:
-    """(image_id, cluster_id, is_canonical): near-dup pairs resolved
-    into connected components; canonical = min image id per cluster.
-    Images with no near-dup partner are absent (trivially canonical)."""
-    pairs = phash_near_dup_pairs(images, max_hamming, id_col, phash_col)
-    labels = connected_components(
-        pairs.select(
-            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    """(image_id, cluster_id, is_canonical): near-dup relation resolved
+    into connected components; cluster_id = min member id per component,
+    canonical = the member equal to it. Images with no duplicate at all
+    (no equal-hash twin AND no near hash) are absent (trivially
+    canonical).
+
+    Never materializes member-level pairs: connected components run
+    over one representative per distinct hash value (rep = min member
+    id, so the component's min rep IS the component's min member id),
+    and members re-attach with one equi-join on the hash value — every
+    stage is O(distinct hashes + members), bounded even when one pHash
+    value has millions of copies."""
+    members, groups = _hash_groups(images, id_col, phash_col)
+    hp = _distinct_hash_pairs(
+        groups.select("ph"), max_hamming, max_segment_freq
+    )
+    rep_pairs = (
+        hp.join(
+            groups.select(F.col("ph").alias("ph_a"), F.col("rep").alias("doc_a")),
+            "ph_a",
+        )
+        .join(
+            groups.select(F.col("ph").alias("ph_b"), F.col("rep").alias("doc_b")),
+            "ph_b",
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(rep_pairs)
+    glab = (
+        groups.join(
+            labels.select(
+                F.col("doc_id").alias("rep"), F.col("label")
+            ),
+            "rep",
+            "left",
+        )
+        .where((F.col("n_members") > 1) | F.col("label").isNotNull())
+        .select(
+            "ph", F.coalesce("label", "rep").alias("cluster_id")
         )
     )
-    return labels.select(
-        F.col("doc_id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
-    ).orderBy(id_col)
+    return (
+        members.join(glab, "ph")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
+        )
+        .orderBy(id_col)
+    )
