@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from snapcrawler_spark.operators import image_dedup as _imgdedup
 from snapcrawler_spark.pipeline import ann as _ann
 from snapcrawler_spark.pipeline import corpus as _corpus
 from snapcrawler_spark.pipeline import dedup as _dedup
@@ -405,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build": _corpus.corpus_build,
         "corpus_sample_stratified": _corpus.sample_stratified,
         "dedup_simhash": _dedup.dedup_simhash,
+        "dedup_image_phash": _imgdedup.dedup_image_phash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
         "dedup_embedding_cluster": _ann.dedup_embedding_cluster,
         "ann_brute_force": _ann.ann_brute_force,
@@ -1017,6 +1019,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE bucket < (CASE {rate_cases}
                         ELSE {_corpus.SAMPLE_DEFAULT_E4} END)
         ORDER BY doc_id
+    """
+    # image pHash near-dup clusters over the seeded deterministic image
+    # table (operators/image_dedup.seeded_phash_images): the oracle is
+    # brute-force all-pairs hamming (bit_count(xor)) — the pigeonhole
+    # candidate generation is exact for hamming <= 3, so both engines
+    # compute the same pair relation — then recursive-CTE reachability
+    # with min-reachable-id labels, mirroring dedup_cluster's oracle
+    _ph = _H60.format(x="'ph#' || cast(doc_id as varchar)")
+    sqls["dedup_image_phash"] = f"""
+        WITH RECURSIVE imgs AS (
+          SELECT doc_id AS image_id, {_ph} AS ph FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000,
+                 xor({_ph}, (1::BIGINT << (doc_id % 60)))
+          FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 20000000,
+                 xor(xor({_ph}, (1::BIGINT << ((doc_id * 7) % 60))),
+                     (1::BIGINT << ((doc_id * 13 + 1) % 60)))
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 30000000, {_ph}
+          FROM documents WHERE doc_id % 9 = 0
+        ), pairs AS (
+          SELECT a.image_id AS ia, b.image_id AS ib
+          FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        ), edges AS (
+          SELECT ia AS src, ib AS dst FROM pairs
+          UNION ALL
+          SELECT ib AS src, ia AS dst FROM pairs
+        ), verts AS (
+          SELECT DISTINCT src AS image_id FROM edges
+        ), reach AS (
+          SELECT image_id, image_id AS r FROM verts
+          UNION
+          SELECT re.image_id, e.dst AS r
+          FROM reach re JOIN edges e ON re.r = e.src
+        )
+        SELECT image_id, min(r) AS cluster_id,
+               (min(r) = image_id) AS is_canonical
+        FROM reach GROUP BY image_id ORDER BY image_id
     """
     sqls["dedup_embedding_cluster"] = f"""
         WITH RECURSIVE pairs AS (
