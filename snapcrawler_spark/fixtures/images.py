@@ -208,6 +208,54 @@ def generate_images(seed: int = 42, n: int = 200) -> tuple[pd.DataFrame, pd.Data
             (image_id, px.tobytes(), ww, hh, 1 if px.ndim == 2 else 3, mode, dpi)
         )
 
+    # ---- near-dup JPEG twin pairs (round-5: opt-in near_dup_images
+    # crawl stage). The "recompressed copy" case: a source image
+    # encoded at q=96 and again at a lower quality until the decoded
+    # round-trip's phash lands within hamming 1..3 of the original.
+    # Deterministic search (fixed RNG stream independent of every
+    # pre-existing draw; fixed quality ladder; first hit wins), ids
+    # img_nd{pair}{a|b} — web.py excludes the img_nd* ids from the
+    # random-pick pool so all pre-existing fixture draws stay
+    # byte-identical. Dimensions/aspect/format chosen to pass every
+    # default test filter (min_side 64, jpg, aspect 4:3).
+    from snapcrawler_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    nd_rng = np.random.Generator(np.random.PCG64(seed * 424_243))
+    made, attempt = 0, 0
+    while made < 2 and attempt < 60:
+        attempt += 1
+        w, h = 160, 120
+        ramp = (
+            np.linspace(40, 215, w)[None, :]
+            + np.linspace(0, 30, h)[:, None]
+        )
+        noise = nd_rng.normal(0, 14, size=(h, w, 3))
+        px = np.clip(ramp[:, :, None] + noise, 0, 255).astype(np.uint8)
+        body_a = encode_jpeg(px, quality=96)
+        px_a = decode_jpeg(body_a)
+        ph_a = _ref_phash(px_a)
+        for q in (88, 80, 72, 64, 55, 45, 35):
+            body_b = encode_jpeg(px, quality=q)
+            px_b = decode_jpeg(body_b)
+            ph_b = _ref_phash(px_b)
+            d = bin((ph_a ^ ph_b) & ((1 << 64) - 1)).count("1")
+            if 1 <= d <= 3:
+                for suf, body, pxx, ph in (
+                    ("a", body_a, px_a, ph_a),
+                    ("b", body_b, px_b, ph_b),
+                ):
+                    iid = f"img_nd{made}{suf}"
+                    hh, ww = pxx.shape[:2]
+                    img_rows.append(
+                        (iid, body, ww, hh, "jpg",
+                         f"near dup {made}{suf}", ph)
+                    )
+                    px_rows.append(
+                        (iid, pxx.tobytes(), ww, hh, 3, "RGB", None)
+                    )
+                made += 1
+                break
+
     images = pd.DataFrame(
         img_rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     )

@@ -109,8 +109,18 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
     if images_df is None:
         from snapcrawler_spark.fixtures.images import generate_images
         images_df, _ = generate_images(seed, cfg["images"])
-    image_ids = images_df["image_id"].tolist()
+    # the near-dup twin rows (img_nd*, images.py round-5 block) are
+    # referenced ONLY by the dedicated /x5/ coverage block below —
+    # excluding them from the random-pick pool keeps every pre-existing
+    # integers(0, len(image_ids)) draw byte-identical
+    image_ids = [
+        i for i in images_df["image_id"].tolist()
+        if not i.startswith("img_nd")
+    ]
     image_fmt = dict(zip(images_df["image_id"], images_df["fmt"]))
+    nd_ids = sorted(
+        i for i in images_df["image_id"] if i.startswith("img_nd")
+    )
 
     page_rows, link_rows, item_rows = [], [], []
     fetch_map: dict[str, tuple[str, int, str]] = {}
@@ -404,6 +414,82 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                 item_rows.append((url, item_idx, "img_src", u))
                 item_idx += 1
                 html_parts.append(f'<img src="{u}"/>')
+            # ---- round-5 coverage blocks. Independent per-URL PCG64
+            # streams (same pattern as /x4/): pre-existing draws stay
+            # byte-identical; URLs live under /x5/ and /x6/.
+            #
+            # /x5/: near-dup JPEG twins (images.py img_nd* pairs) for
+            # the opt-in near_dup_images gate — each hit page embeds
+            # ONE member of one pair as a plain <img src>, so originals
+            # and recompressed twins surface on different pages and
+            # meet only in the consumer filter chain.
+            crng = np.random.Generator(
+                np.random.PCG64(seed * 930_007 + _stable_hash(url))
+            )
+            if nd_ids and crng.random() < 0.08:
+                # half the hit pages carry BOTH members of a pair (the
+                # original and its recompressed twin meet in the chain
+                # whenever the page is crawled — guaranteed-non-vacuous
+                # coverage); the rest carry one member, surfacing pairs
+                # across pages
+                pair = nd_ids[int(crng.integers(0, len(nd_ids))) & ~1]
+                both = crng.random() < 0.5
+                picks = (
+                    [pair, nd_ids[nd_ids.index(pair) + 1]]
+                    if both
+                    else [nd_ids[int(crng.integers(0, len(nd_ids)))]]
+                )
+                for nd_id in picks:
+                    u = f"https://{host}/x5/{nd_id}_{j}.jpg"
+                    if u not in fetch_map:
+                        fetch_map[u] = (nd_id, 200, "image/jpeg")
+                    item_rows.append((url, item_idx, "img_src", u))
+                    item_idx += 1
+                    html_parts.append(f'<img src="{u}"/>')
+            # /x6/: MULTI-LINE <script> blocks — the common real-world
+            # shape the (?s)-less body regexes silently skipped
+            # (ADVICE r4). One of three variants: bare-string ajax
+            # sweep, single-quoted relative JS sweep, JSON-LD.
+            drng = np.random.Generator(
+                np.random.PCG64(seed * 940_013 + _stable_hash(url))
+            )
+            if drng.random() < 0.08:
+                iid = image_ids[int(drng.integers(0, len(image_ids)))]
+                variant = int(drng.integers(0, 3))
+                if variant == 0:
+                    u = f"https://{host}/x6/ml_{j}.jpg"
+                    if u not in fetch_map:
+                        fetch_map[u] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    item_rows.append((url, item_idx, "ajax_list", u))
+                    item_idx += 1
+                    html_parts.append(
+                        "<script>\nvar g = {\n"
+                        f'  "gallery": ["{u}"],\n'
+                        '  "page": 1\n};\n</script>'
+                    )
+                elif variant == 1:
+                    rel = f"/x6/mlr_{j}.png"
+                    absu = f"https://{host}{rel}"
+                    if absu not in fetch_map:
+                        fetch_map[absu] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    item_rows.append((url, item_idx, "ajax_rel", absu))
+                    item_idx += 1
+                    html_parts.append(
+                        f"<script>\nvar p = '{rel}';\npreload(p);\n"
+                        "</script>"
+                    )
+                else:
+                    u = f"https://{host}/x6/mlj_{j}.png"
+                    if u not in fetch_map:
+                        fetch_map[u] = (iid, 200, _CTYPE[image_fmt[iid]])
+                    item_rows.append((url, item_idx, "json_ld", u))
+                    item_idx += 1
+                    html_parts.append(
+                        '<script type="application/ld+json">\n'
+                        '{"@type": "ImageObject",\n'
+                        f' "content": {{"url": "{u}"}}}}\n'
+                        "</script>"
+                    )
             if with_html:
                 html_parts.append("</body></html>")
                 html = "".join(html_parts)

@@ -20,7 +20,8 @@ plan:
 Reject-reason vocabulary matches the oracle:
 http_error, non_image_content_type, svg_unsupported, decode_error,
 size, format, dpi, color, orientation, aspect, banner_logo,
-duplicate_phash, watermark.
+duplicate_phash, near_dup (opt-in, cfg.extra['near_dup_images']),
+watermark.
 """
 
 from __future__ import annotations
@@ -104,6 +105,75 @@ def _cap_boundary(df: DataFrame, cfg: CrawlConfig) -> int | None:
         ):
             return int(r.item_seq)
     raise AssertionError("crossing bucket did not cross")  # unreachable
+
+
+def _near_dup_stage(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Opt-in NEAR-duplicate pHash gate (engine extension; the reference
+    dedups by exact equality only, filtering_module.py:335-342 — that
+    stays the default, this stage runs behind
+    ``cfg.extra['near_dup_images']`` with ``cfg.deduplication`` on).
+
+    Pinned semantics (mirrored in oracle/crawl_oracle.py): walking the
+    surviving items in item_seq order, an item within ``max_hamming``
+    bits of any previously-KEPT phash rejects as ``near_dup`` and its
+    phash is NOT added to the kept set (greedy
+    maximal-independent-set-by-order); exact-phash repeats were already
+    rejected ``duplicate_phash`` by the first-wins window above, and
+    with this flag on the exact set advances even when the first holder
+    of a phash is itself near-dup-rejected (the hash was observed).
+
+    That greedy scan decomposes exactly by connected components of the
+    near-dup graph — items farther than ``max_hamming`` from every
+    member of a component never interact with it — so the engine
+    resolves components distributively (operators/image_dedup
+    .phash_clusters: exact-collapse + segment pigeonhole + pointer-
+    jumping CC, every stage shuffle-on-key) and replays the greedy scan
+    per component in an Arrow-batched applyInPandas kernel over
+    component MEMBERS only. Components are near-dup chains (small in
+    practice; mass-duplication collapses to one representative before
+    the pair join), so the per-group quadratic is bounded; items in no
+    component skip the kernel entirely."""
+    import pandas as pd
+
+    from snapcrawler_spark.operators.image_dedup import phash_clusters
+
+    surv = df.where(F.col("reason").isNull()).select("item_seq", "phash")
+    clusters = phash_clusters(
+        surv, max_hamming, id_col="item_seq", phash_col="phash"
+    )
+    members = surv.join(
+        clusters.select("item_seq", "cluster_id"), "item_seq"
+    )
+    mask = (1 << 64) - 1
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("item_seq")
+        kept: list[int] = []
+        out: list[int] = []
+        for seq, ph in zip(pdf["item_seq"], pdf["phash"]):
+            p = int(ph) & mask
+            if any(
+                bin(p ^ k).count("1") <= max_hamming for k in kept
+            ):
+                out.append(int(seq))
+            else:
+                kept.append(p)
+        return pd.DataFrame({"item_seq": pd.array(out, dtype="int64")})
+
+    rejected = members.groupBy("cluster_id").applyInPandas(
+        _greedy, "item_seq long"
+    ).withColumn("nd_hit", F.lit(True))
+    return (
+        df.join(rejected, "item_seq", "left")
+        .withColumn(
+            "reason",
+            F.coalesce(
+                F.col("reason"),
+                F.when(F.col("nd_hit"), F.lit("near_dup")),
+            ),
+        )
+        .drop("nd_hit")
+    )
 
 
 def image_pipeline(
@@ -220,6 +290,9 @@ def image_pipeline(
             F.when(F.row_number().over(w_dup) > 1, F.lit("duplicate_phash")),
         )
         df = survivors.unionByName(rejected)
+
+    if cfg.deduplication and cfg.extra.get("near_dup_images"):
+        df = _near_dup_stage(df, max_hamming=3)
 
     if cfg.watermark_enabled:
         # reference order (filtering_module.py:336-350): the phash insert

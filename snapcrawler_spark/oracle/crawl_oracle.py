@@ -303,6 +303,9 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
     processed = 0
     folder_bytes = 0
     phash_seen: set[int] = set()
+    near_dup_on = bool(cfg.extra.get("near_dup_images", False))
+    near_kept: set[int] = set()
+    _M64 = (1 << 64) - 1
     for item_seq_, iurl, src, depth in res.image_items:
         if cfg.max_images > 0 and processed >= cfg.max_images:
             break
@@ -367,6 +370,18 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
                 res.rejections.append((item_seq_, iurl, "duplicate_phash"))
                 continue
             phash_seen.add(m["phash"])
+            # opt-in near-dup gate (engine extension; pinned spec —
+            # operators/filters._near_dup_stage): within max_hamming
+            # bits of any previously-KEPT phash → 'near_dup', and the
+            # rejected hash joins the EXACT set (added above) but not
+            # the kept set (greedy maximal independent set by order)
+            if near_dup_on and any(
+                bin((m["phash"] ^ k) & _M64).count("1") <= 3
+                for k in near_kept
+            ):
+                res.rejections.append((item_seq_, iurl, "near_dup"))
+                continue
+            near_kept.add(m["phash"])
         if cfg.watermark_enabled and _wm(image_id):
             # after the phash insert, like filtering_module.py:336-350
             res.rejections.append((item_seq_, iurl, "watermark"))

@@ -87,6 +87,9 @@ CONFIG_MATRIX = [
     ),
     # Scrapy-chain synonyms (pipelines.py:180,194-197)
     dict(orientation="vertical", color_mode="any"),
+    # opt-in near-dup image gate (engine extension; exact-only is the
+    # reference default, filtering_module.py:335-342)
+    dict(extra={"near_dup_images": True}),
 ]
 
 
@@ -144,6 +147,48 @@ def test_bare_string_ajax_sweep_is_exercised(web_xs):
     # other channel row (so only the sweep can harvest it)
     others = set(items[items.channel != "ajax_list"].url)
     assert any(u not in others for u in sweep.url)
+
+
+def test_near_dup_twins_pinned(web_xs):
+    """The images fixture carries recompressed-JPEG twin pairs
+    (img_nd{p}a = q96 original, img_nd{p}b = lower-quality re-encode)
+    whose pHashes differ by 1..3 bits — the deterministic search in
+    fixtures/images.py must keep finding them, else the near-dup cases
+    go vacuous."""
+    imgs = web_xs["images"]
+    ph = dict(zip(imgs.image_id, imgs.phash))
+    pairs = 0
+    for p in range(2):
+        a, b = ph.get(f"img_nd{p}a"), ph.get(f"img_nd{p}b")
+        if a is None:
+            continue
+        d = bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+        assert 1 <= d <= 3, f"pair {p} hamming {d} out of range"
+        pairs += 1
+    assert pairs >= 1, "no near-dup twin pairs in the fixture"
+
+
+def test_recompressed_twin_rejected_only_with_flag(spark, web_xs):
+    """VERDICT r5 task 3 'done' criterion: a hamming<=3 recompressed
+    twin is rejected with reason 'near_dup' ONLY when
+    extra['near_dup_images'] is on; with the flag off (reference parity
+    default) it is accepted."""
+    cfg_off = _cfg(web_xs)
+    cfg_on = _cfg(web_xs, extra={"near_dup_images": True})
+    run_off = _run_engine(spark, web_xs, cfg_off)
+    run_on = _run_engine(spark, web_xs, cfg_on)
+    nd = {
+        r.image_url
+        for r in run_on["rejections"].collect()
+        if r.reason == "near_dup"
+    }
+    assert nd, "no near_dup rejections with the flag on — vacuous"
+    assert all("/x5/" in u for u in nd)
+    assert not any(
+        r.reason == "near_dup" for r in run_off["rejections"].collect()
+    )
+    acc_off = {r.image_url for r in run_off["accepted"].collect()}
+    assert nd <= acc_off, "twin not accepted under the parity default"
 
 
 def test_wave_count_scales_with_depth_not_pages(spark, web_s):
