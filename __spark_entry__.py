@@ -404,6 +404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_cluster": _dedup.dedup_cluster,
         "corpus_build": _corpus.corpus_build,
+        # second config point (CorpusConfig is a job parameter, not a
+        # constant): German slice at a looser quality bar
+        "corpus_build_alt": lambda spark, sf: _corpus.corpus_build(
+            spark, sf, _corpus.ALT_CONFIG
+        ),
+        # per-doc drop lineage (the corpus rejections table), both
+        # config points
+        "corpus_reasons": _corpus.corpus_reasons,
+        "corpus_reasons_alt": lambda spark, sf: _corpus.corpus_reasons(
+            spark, sf, _corpus.ALT_CONFIG
+        ),
         "corpus_sample_stratified": _corpus.sample_stratified,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_image_phash": _imgdedup.dedup_image_phash,
@@ -980,8 +991,10 @@ def oracle_sql() -> dict[str, str]:
     """
     # composite training-corpus pipeline: lang filter + quality
     # threshold + exact keep-first + near-dup keep-canonical, composed
-    # from the already-oracled stages
-    sqls["corpus_build"] = f"""
+    # from the already-oracled stages. Parameterized by CorpusConfig —
+    # the gates run at TWO config points (default + ALT_CONFIG).
+    def _corpus_build_sql(cfg) -> str:
+        return f"""
         WITH q AS (
           SELECT doc_id, quality_e4 FROM ({sqls['text_quality_score']}) x
         ), l AS (
@@ -999,11 +1012,68 @@ def oracle_sql() -> dict[str, str]:
         JOIN q ON q.doc_id = h.doc_id
         JOIN l ON l.doc_id = h.doc_id
         LEFT JOIN clusters c ON c.doc_id = h.doc_id
-        WHERE l.lang_pred = '{_corpus.KEEP_LANG}'
-          AND q.quality_e4 >= {_corpus.MIN_QUALITY_E4}
+        WHERE l.lang_pred = '{cfg.keep_lang}'
+          AND q.quality_e4 >= {cfg.min_quality_e4}
           AND (c.doc_id IS NULL OR c.is_canonical)
         ORDER BY h.doc_id
     """
+
+    # drop lineage (the corpus rejections table): first failing reason
+    # per dropped doc — precedence dropped_exact > dropped_near_dup >
+    # dropped_lang > dropped_quality, matching corpus_build's stage
+    # order — plus the responsible keeper (exact keeper / cluster
+    # canonical; -1 sentinel for lang/quality drops: a NULL-bearing int
+    # column degrades to float64/object in the pandas bridges and
+    # breaks the dtype-strict value hash). Complement invariant:
+    # |corpus_build| + |corpus_reasons| == |documents| (pytest-pinned).
+    def _corpus_reasons_sql(cfg) -> str:
+        return f"""
+        WITH q AS (
+          SELECT doc_id, quality_e4 FROM ({sqls['text_quality_score']}) x
+        ), l AS (
+          SELECT doc_id, lang_pred FROM ({sqls['text_lang_id']}) x
+        ), clusters AS (
+          SELECT doc_id, cluster_id, is_canonical
+          FROM ({sqls['dedup_cluster']}) x
+        ), hashed AS (
+          SELECT doc_id, md5(text) AS k FROM documents
+        ), keeper AS (
+          SELECT k, min(doc_id) AS keep_id FROM hashed GROUP BY k
+        ), joined AS (
+          SELECT h.doc_id, ke.keep_id, c.cluster_id, c.is_canonical,
+                 l.lang_pred, q.quality_e4
+          FROM hashed h
+          JOIN keeper ke ON h.k = ke.k
+          JOIN q ON q.doc_id = h.doc_id
+          JOIN l ON l.doc_id = h.doc_id
+          LEFT JOIN clusters c ON c.doc_id = h.doc_id
+        ), tagged AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id <> keep_id THEN 'dropped_exact'
+                   WHEN cluster_id IS NOT NULL AND NOT is_canonical
+                     THEN 'dropped_near_dup'
+                   WHEN lang_pred <> '{cfg.keep_lang}' THEN 'dropped_lang'
+                   WHEN quality_e4 < {cfg.min_quality_e4}
+                     THEN 'dropped_quality'
+                 END AS reason,
+                 CASE
+                   WHEN doc_id <> keep_id THEN keep_id
+                   WHEN cluster_id IS NOT NULL AND NOT is_canonical
+                     THEN cluster_id
+                   ELSE -1
+                 END AS keeper_doc_id
+          FROM joined
+        )
+        SELECT doc_id, reason,
+               cast(keeper_doc_id as bigint) AS keeper_doc_id
+        FROM tagged WHERE reason IS NOT NULL ORDER BY doc_id
+    """
+
+    sqls["corpus_build"] = _corpus_build_sql(_corpus.CorpusConfig())
+    sqls["corpus_build_alt"] = _corpus_build_sql(_corpus.ALT_CONFIG)
+    sqls["corpus_reasons"] = _corpus_reasons_sql(_corpus.CorpusConfig())
+    sqls["corpus_reasons_alt"] = _corpus_reasons_sql(_corpus.ALT_CONFIG)
     rate_cases = " ".join(
         f"WHEN lang = '{lg}' THEN {r}"
         for lg, r in _corpus.SAMPLE_RATE_E4.items()

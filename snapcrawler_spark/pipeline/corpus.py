@@ -7,12 +7,30 @@ plan, reusing the individually-gated operators (pipeline/text.py,
 pipeline/dedup.py). Every stage is shuffle-on-key; the only iterative
 piece is the connected-components fixpoint inside ``dedup_cluster``.
 
-Output: one row per surviving document (doc_id, lang_pred, quality_e4),
-ordered by doc_id — deterministic and hash-comparable against the
-composed DuckDB oracle (__spark_entry__.oracle_sql()['corpus_build']).
+``corpus_reasons`` is the rejections-table complement (the corpus
+analog of the crawl's lineage sink, operators/filters.py): one row per
+DROPPED document with the first failing reason — precedence
+dropped_exact > dropped_near_dup > dropped_lang > dropped_quality,
+mirroring the stage order of ``corpus_build``'s plan — plus the keeper
+document responsible (exact keeper / cluster canonical; -1 sentinel
+when no keeper exists, i.e. lang/quality drops). By construction
+``corpus_build`` ∪ ``corpus_reasons`` partitions the corpus:
+|build| + |reasons| == |documents|.
+
+Thresholds are job parameters (``CorpusConfig``), like the crawl's
+CrawlConfig — the driver gate runs the pipeline at TWO config points
+(default and ``ALT_CONFIG``) against independently-parameterized DuckDB
+oracles.
+
+Output of ``corpus_build``: one row per surviving document
+(doc_id, lang_pred, quality_e4), ordered by doc_id — deterministic and
+hash-comparable against the composed DuckDB oracle
+(__spark_entry__.oracle_sql()['corpus_build']).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,11 +38,29 @@ from pyspark.sql import functions as F
 from snapcrawler_spark.pipeline.dedup import dedup_cluster
 from snapcrawler_spark.pipeline.text import docs, lang_id, quality_score
 
-MIN_QUALITY_E4 = 3000
-KEEP_LANG = "en"
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    keep_lang: str = "en"
+    min_quality_e4: int = 3000
+    cluster_threshold: float = 0.5  # minhash-LSH near-dup threshold
 
 
-def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+# second config point for the *_alt gates: keep the unidentified-
+# language slice at a looser quality bar (the synthetic corpus predicts
+# only en/und, so 'und' is the non-vacuous second value) — exercises
+# that thresholds really are job parameters, not constants
+ALT_CONFIG = CorpusConfig(keep_lang="und", min_quality_e4=2000)
+
+# backwards-compatible module constants (the default config point)
+MIN_QUALITY_E4 = CorpusConfig.min_quality_e4
+KEEP_LANG = CorpusConfig.keep_lang
+
+
+def corpus_build(
+    spark: SparkSession, sf_dir: str, cfg: CorpusConfig | None = None
+) -> DataFrame:
+    cfg = cfg or CorpusConfig()
     d = docs(spark, sf_dir)
     lang = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
     qual = quality_score(spark, sf_dir).select("doc_id", "quality_e4")
@@ -42,19 +78,71 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup resolution: drop non-canonical cluster members; docs not
     # in any cluster pass through (left anti against the non-canonical
     # sliver keeps the join O(cluster members), not O(corpus))
-    non_canonical = dedup_cluster(spark, sf_dir).where(
-        ~F.col("is_canonical")
-    ).select("doc_id")
+    non_canonical = dedup_cluster(
+        spark, sf_dir, cfg.cluster_threshold
+    ).where(~F.col("is_canonical")).select("doc_id")
 
     return (
         exact_kept.join(non_canonical, "doc_id", "left_anti")
         .join(lang, "doc_id")
         .join(qual, "doc_id")
         .where(
-            (F.col("lang_pred") == KEEP_LANG)
-            & (F.col("quality_e4") >= MIN_QUALITY_E4)
+            (F.col("lang_pred") == cfg.keep_lang)
+            & (F.col("quality_e4") >= cfg.min_quality_e4)
         )
         .select("doc_id", "lang_pred", "quality_e4")
+        .orderBy("doc_id")
+    )
+
+
+def corpus_reasons(
+    spark: SparkSession, sf_dir: str, cfg: CorpusConfig | None = None
+) -> DataFrame:
+    """(doc_id, reason, keeper_doc_id) for every document
+    ``corpus_build`` drops — see module docstring for precedence and
+    the partition invariant. keeper_doc_id is the exact keeper / the
+    cluster canonical, or -1 for lang/quality drops (sentinel instead
+    of NULL: keeps the column a non-nullable BIGINT on both engines —
+    a NULL-bearing int column degrades to float64 in one engine's
+    pandas bridge and object in the other's, breaking the driver's
+    dtype-strict value hash)."""
+    cfg = cfg or CorpusConfig()
+    d = docs(spark, sf_dir)
+    hashed = d.select("doc_id", F.md5("text").alias("k"))
+    keeper = hashed.groupBy("k").agg(F.min("doc_id").alias("keep_id"))
+    clusters = dedup_cluster(spark, sf_dir, cfg.cluster_threshold).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    lang = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    qual = quality_score(spark, sf_dir).select("doc_id", "quality_e4")
+    full = (
+        hashed.join(keeper, "k")
+        .join(clusters, "doc_id", "left")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+    )
+    is_near = F.col("cluster_id").isNotNull() & ~F.col("is_canonical")
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("dropped_exact"))
+        .when(is_near, F.lit("dropped_near_dup"))
+        .when(F.col("lang_pred") != cfg.keep_lang, F.lit("dropped_lang"))
+        .when(
+            F.col("quality_e4") < cfg.min_quality_e4,
+            F.lit("dropped_quality"),
+        )
+    )
+    keeper_id = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.col("keep_id"))
+        .when(is_near, F.col("cluster_id"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return (
+        full.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(
+            "doc_id", "reason", keeper_id.alias("keeper_doc_id")
+        )
         .orderBy("doc_id")
     )
 

@@ -1,0 +1,75 @@
+"""Corpus pipeline lineage (pipeline/corpus.py): the corpus_reasons
+rejections table must partition the corpus against corpus_build at
+every config point, honor the documented reason precedence, and carry
+the responsible keeper ids."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from snapcrawler_spark.pipeline import corpus as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "cfg", [None, C.ALT_CONFIG], ids=["default", "alt"]
+)
+def test_reasons_complement_build(spark, cfg):
+    """|corpus_build| + |corpus_reasons| == |documents| — every doc is
+    either kept or carries exactly one drop reason."""
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    built = C.corpus_build(spark, SF_DIR, cfg).count()
+    reasons = C.corpus_reasons(spark, SF_DIR, cfg).collect()
+    assert built + len(reasons) == total
+    assert len({r.doc_id for r in reasons}) == len(reasons)
+    for r in reasons:
+        if r.reason in ("dropped_exact", "dropped_near_dup"):
+            assert r.keeper_doc_id >= 0
+        else:
+            assert r.keeper_doc_id == -1
+
+
+def test_alt_config_is_a_different_nonvacuous_point(spark):
+    d = C.corpus_build(spark, SF_DIR).collect()
+    a = C.corpus_build(spark, SF_DIR, C.ALT_CONFIG).collect()
+    assert a, "ALT_CONFIG selects nothing — vacuous second config point"
+    assert {r.doc_id for r in d} != {r.doc_id for r in a}
+    assert all(r.lang_pred == C.ALT_CONFIG.keep_lang for r in a)
+
+
+def test_exact_precedes_near_dup_and_keeper_ids(spark, tmp_path):
+    """Byte-identical texts are ALSO minhash near-dups (identical
+    signatures), so the copy doc fails both stages — the reasons table
+    must pick dropped_exact (stage order) and point at the exact
+    keeper, while a kept doc's near-dup satellites point at the cluster
+    canonical."""
+    en = (
+        "the quick brown fox and the lazy dog of the old farm with a "
+        "kind heart and a long road to the far hills in the morning "
+    )
+    rows = []
+    # d0/d1: byte-identical (d1 → dropped_exact, keeper 0)
+    rows.append((0, en * 4, "en"))
+    rows.append((1, en * 4, "en"))
+    # d2: unique survivor
+    rows.append((2, en * 4 + "every extra word counts here today", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf["source"] = "t"
+    root = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    pdf.to_parquet(f"{root}/documents.parquet", index=False)
+
+    reasons = {
+        r.doc_id: (r.reason, r.keeper_doc_id)
+        for r in C.corpus_reasons(spark, root).collect()
+    }
+    assert reasons[1] == ("dropped_exact", 0)
+    built = {r.doc_id for r in C.corpus_build(spark, root).collect()}
+    assert 1 not in built
+    assert built | set(reasons) == {0, 1, 2}
