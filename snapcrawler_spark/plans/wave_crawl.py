@@ -48,11 +48,11 @@ bit-exact ordering gate.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 import time as _time
-import weakref
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -197,21 +197,20 @@ class WaveCrawl:
         # scratch dir for wave-boundary frontier snapshots (the local
         # stand-in for the Iceberg snapshot store); only the latest
         # wave's file is kept. The returned frontier reads from here,
-        # so the dir outlives run() — cleanup is deferred to close(),
-        # garbage collection of this instance, or interpreter exit
-        # (weakref.finalize registers an atexit hook), whichever comes
-        # first; tests creating many WaveCrawl instances therefore no
-        # longer leak one scratch dir each past process exit.
+        # so the dir must outlive run() AND this instance (callers keep
+        # using the returned DataFrame after the WaveCrawl is garbage-
+        # collected — a GC-tied finalizer broke exactly that). Cleanup
+        # therefore happens at explicit close() or interpreter exit,
+        # whichever comes first; tests creating many WaveCrawl
+        # instances no longer leak scratch dirs past process exit.
         self._scratch = tempfile.mkdtemp(prefix="snapcrawler_waves_")
-        self._cleanup = weakref.finalize(
-            self, shutil.rmtree, self._scratch, True
-        )
+        atexit.register(shutil.rmtree, self._scratch, True)
 
     def close(self) -> None:
-        """Remove the scratch dir (frontier snapshots). Call once the
-        returned frontier DataFrame is no longer needed — it reads from
-        this dir."""
-        self._cleanup()
+        """Remove the scratch dir (frontier snapshots). Call only once
+        the returned frontier DataFrame is no longer needed — it reads
+        from this dir."""
+        shutil.rmtree(self._scratch, ignore_errors=True)
 
     def restore(self) -> None:
         """Resume from the last committed wave: frontier + seen-set bloom
