@@ -267,10 +267,21 @@ class ExactSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
+        """``eager=False`` defers the delta checkpoint's materialization
+        to the first downstream action — the caller's way to RIDE an
+        action it will run anyway instead of paying a dedicated job per
+        probe (the wave loop folds the page-md5 probe into the items
+        checkpoint this way). The origin plan is one anti-join of the
+        candidates against bounded LogicalRDD parts, so the carried
+        plan-stats stay linear either way (see plans/wave_crawl.py on
+        why that matters)."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = base if assume_unique else base.distinct()
-        new = cand.join(self.df, "url", "left_anti").localCheckpoint()
+        new = cand.join(self.df, "url", "left_anti").localCheckpoint(
+            eager=eager
+        )
         # append-only: one O(new) delta per probe, never an O(total)
         # re-checkpoint of the whole set
         self._parts.append(new)
@@ -284,8 +295,9 @@ class ExactSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
-        new = self.probe_new(candidates, url_col, assume_unique)
+        new = self.probe_new(candidates, url_col, assume_unique, eager)
         flags = new.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )

@@ -191,8 +191,11 @@ class WaveCrawl:
         # per-phase wall-second accumulators, keyed by the blocking
         # driver call that runs each wave's jobs (laziness means each
         # phase includes everything computed since the previous action):
-        # md5_probe = politeness+fetch+md5 window; seen_probe =
-        # extraction+cand window+bloom cogroup; items_ckpt; frontier_commit
+        # items_ckpt = politeness+fetch+md5 window+lazy md5-probe delta
+        # +extraction+items (the wave's FIRST action since the round-5
+        # md5 fold — the former md5_probe phase rides here); seen_probe
+        # = cand window+bloom cogroup; frontier_commit = parquet
+        # round-trip
         self.phase_secs: dict[str, float] = {}
         # scratch dir for wave-boundary frontier snapshots (the local
         # stand-in for the Iceberg snapshot store); only the latest
@@ -519,20 +522,26 @@ class WaveCrawl:
                 )
             )
 
-            # MD5 page dedup: within-wave first-wins + cross-wave probe
+            # MD5 page dedup: within-wave first-wins + cross-wave probe.
+            # The probe's delta checkpoint is LAZY (eager=False): its
+            # materialization rides the items-checkpoint job below — the
+            # wave's first action — instead of paying a dedicated
+            # politeness+fetch+window pass of its own (r4 profile:
+            # md5_probe ~14 s + items_ckpt ~14 s over the SAME upstream
+            # lineage; folding them computes that lineage once, one
+            # fewer action per wave). The riding fetch-side observations
+            # (obs_sel/obs_ok/obs_blocked) resolve on that same action,
+            # so their reads sit after the items checkpoint.
             w_md5 = Window.partitionBy("content_md5").orderBy(
                 "priority", "enq_seq"
             )
             ok = ok.withColumn("md5_rank", F.row_number().over(w_md5))
             firsts = ok.where(F.col("md5_rank") == 1)
-            t_ph = _time.time()
             probed = self.md5_seen.probe_and_insert(
                 firsts.select(F.col("content_md5").alias("url")),
                 assume_unique=True,
+                eager=False,
             ).withColumnRenamed("url", "content_md5")
-            self.phase_secs["md5_probe"] = (
-                self.phase_secs.get("md5_probe", 0.0) + _time.time() - t_ph
-            )
             fresh = firsts.join(
                 probed.where("was_new").select("content_md5"), "content_md5"
             )
@@ -540,13 +549,6 @@ class WaveCrawl:
             if self.collect_metrics:
                 obs_fresh = Observation()
                 fresh = fresh.observe(obs_fresh, F.count(F.lit(1)).alias("n"))
-            # the md5 probe's eager checkpoint scanned firsts (and thus
-            # ok, and thus every fetchable partition) — these
-            # observations are resolved, no count() jobs needed
-            n_selected = _obs_n(obs_sel, fetchable)
-            n_ok = _obs_n(obs_ok, ok) if obs_ok is not None else -1
-            if n_blocked < 0:
-                n_blocked = _obs_n(obs_blocked, blocked)
 
             # extraction over fresh pages only. Persisted: three jobs
             # consume it this wave (items checkpoint, seen cogroup via
@@ -591,6 +593,14 @@ class WaveCrawl:
             )
             self.items_parts.append(items)
             n_items = _obs_n(obs_items, items) if obs_items is not None else -1
+            # the items checkpoint was the wave's first action: it
+            # materialized the lazy md5-probe delta and scanned every
+            # fetchable partition, so the fetch-side observations are
+            # resolved — no count() jobs needed
+            n_selected = _obs_n(obs_sel, fetchable)
+            n_ok = _obs_n(obs_ok, ok) if obs_ok is not None else -1
+            if n_blocked < 0:
+                n_blocked = _obs_n(obs_blocked, blocked)
 
             link_cand = extracted.select(
                 F.col("enq_seq").alias("parent_seq"),
