@@ -113,11 +113,21 @@ class BloomSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
         """Probe-and-insert returning ONLY the new URLs (url, pid) —
         no join back onto the candidate rows. ``assume_unique=True``
         skips the dedup shuffle when the caller already deduped (the
-        wave loop's first-enqueuer-wins window does)."""
+        wave loop's first-enqueuer-wins window does).
+
+        ``eager=False`` defers ONLY the returned delta's checkpoint to
+        the caller's next action (the wave loop's frontier commit
+        consumes the delta, so the verdict-filter + exact-rescue
+        anti-join ride that job instead of paying a dedicated one per
+        probe). The cogroup checkpoint stays eager either way: it is
+        the probe's state-update pass, every downstream plan (verdicts,
+        next-wave bitmaps, the delta itself) reads its blocks, and the
+        caller's riding candidate observations resolve on it."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = self._keyed(base if assume_unique else base.distinct())
         m_bits, k = self.m_bits, self.n_hashes
@@ -189,7 +199,7 @@ class BloomSeenSet:
         rescued = maybe.join(self.exact, ["url"], "left_anti").select("url", verdicts.pid)
         new_urls = (
             verdicts.where(~F.col("maybe_seen")).select("url", "pid").unionByName(rescued)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=eager)
         self._append_exact(new_urls)  # O(new) — no re-checkpoint of history
         self.state = new_state  # reads checkpointed merged blocks
         return new_urls
@@ -199,12 +209,13 @@ class BloomSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
         """Returns candidates with a ``was_new`` column; inserts all new
         URLs into the set. Candidates are deduped on url first (the
         first occurrence in a batch wins, like dict insertion) unless
         ``assume_unique``."""
-        new_urls = self.probe_new(candidates, url_col, assume_unique)
+        new_urls = self.probe_new(candidates, url_col, assume_unique, eager)
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )
@@ -412,6 +423,7 @@ class CuckooSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
         base = candidates.select(F.col(url_col).alias("url"))
         cand = self._keyed(base if assume_unique else base.distinct())
@@ -529,7 +541,7 @@ class CuckooSeenSet:
             verdicts.where(~F.col("maybe_seen"))
             .select("url", "pid")
             .unionByName(rescued)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=eager)
         self._exact_parts.append(new_urls)
         self._pending_snapshot.append(new_urls)
         if len(self._exact_parts) >= self._compact_at:
@@ -542,8 +554,9 @@ class CuckooSeenSet:
         candidates: DataFrame,
         url_col: str = "url",
         assume_unique: bool = False,
+        eager: bool = True,
     ) -> DataFrame:
-        new_urls = self.probe_new(candidates, url_col, assume_unique)
+        new_urls = self.probe_new(candidates, url_col, assume_unique, eager)
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )

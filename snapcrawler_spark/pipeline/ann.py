@@ -84,8 +84,13 @@ def ann_lsh(
     buckets. Recall < 1 by design; the oracle mirrors the same bucketing
     so results are deterministic."""
     emb = _emb(spark, sf_dir).persist()
+    # plane numbering: the window input is bounded to N_PLANES rows by
+    # the limit, so the constant partition key (single partition by
+    # construction, not by accident) costs nothing at any corpus size
     planes = emb.orderBy("vec_id").limit(N_PLANES).select(
-        F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("vec_id")
+        ).alias("rn"),
         F.col("v").alias("pv"),
     ).select((F.col("rn") - 1).alias("plane_id"), "pv")
     sig = _signatures(emb, planes)
@@ -126,8 +131,12 @@ def ann_lsh_multi(
     first = (
         emb.orderBy("vec_id")
         .limit(n_tables * N_PLANES)
+        # bounded to n_tables*N_PLANES rows by the limit — the constant
+        # partition key makes the single-partition window explicit
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+            (F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("vec_id")
+            ) - 1).alias(
                 "pid_all"
             ),
             F.col("v").alias("pv"),
@@ -367,8 +376,12 @@ def dedup_embedding_cosine(
     first = (
         emb.orderBy("vec_id")
         .limit(n_tables * N_PLANES)
+        # bounded to n_tables*N_PLANES rows by the limit — the constant
+        # partition key makes the single-partition window explicit
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+            (F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("vec_id")
+            ) - 1).alias(
                 "pid_all"
             ),
             F.col("v").alias("pv"),

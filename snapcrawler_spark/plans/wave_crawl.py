@@ -194,8 +194,10 @@ class WaveCrawl:
         # items_ckpt = politeness+fetch+md5 window+lazy md5-probe delta
         # +extraction+items (the wave's FIRST action since the round-5
         # md5 fold — the former md5_probe phase rides here); seen_probe
-        # = cand window+bloom cogroup; frontier_commit = parquet
-        # round-trip
+        # = cand window+bloom cogroup (state update only — the new-URLs
+        # delta checkpoint is lazy since the round-5 seen fold);
+        # frontier_commit = verdict filter+exact-rescue anti-join+
+        # parquet round-trip
         self.phase_secs: dict[str, float] = {}
         # scratch dir for wave-boundary frontier snapshots (the local
         # stand-in for the Iceberg snapshot store); only the latest
@@ -646,9 +648,20 @@ class WaveCrawl:
                 )
 
             # the seen probe's eager cogroup checkpoint scans every cands
-            # partition — cands/fresh observations resolve here for free
+            # partition — cands/fresh observations resolve here for free.
+            # The NEW-URLS delta checkpoint is LAZY (eager=False): the
+            # frontier commit below consumes it (probed → new_frontier),
+            # so the verdict filter + exact-rescue anti-join ride that
+            # write instead of paying a dedicated job per wave — the
+            # same fold the md5 probe does onto the items checkpoint.
+            # Everything between here and the commit (tally, budgets)
+            # derives from the fetch side, not the delta, and the
+            # catalog snapshot that appends the delta runs after the
+            # commit, so the delta is always materialized before read.
             t_ph = _time.time()
-            probed = self.seen.probe_and_insert(cands, assume_unique=True)
+            probed = self.seen.probe_and_insert(
+                cands, assume_unique=True, eager=False
+            )
             self.phase_secs["seen_probe"] = (
                 self.phase_secs.get("seen_probe", 0.0) + _time.time() - t_ph
             )

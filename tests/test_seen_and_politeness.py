@@ -67,6 +67,38 @@ class TestSeenSet:
         assert len(news) == 100
         assert all(int(u.rsplit("/", 1)[1]) >= 200 for u in news)
 
+    def test_lazy_delta_matches_eager_over_batches(self, spark):
+        """eager=False defers only the delta checkpoint's materialization
+        (the wave loop's frontier commit provides the action); verdicts,
+        exact table, and bitmap state must be byte-identical to the
+        eager path across overlapping batches — including a batch whose
+        delta is consumed by a LATER probe's rescue anti-join before any
+        explicit action touched it."""
+        lazy = BloomSeenSet(spark, partitions=8, m_bits=1 << 14, n_hashes=5)
+        eager = BloomSeenSet(spark, partitions=8, m_bits=1 << 14, n_hashes=5)
+        batches = [
+            _urls(spark, 0, 300),
+            _urls(spark, 200, 500),
+            _urls(spark, 0, 600),
+        ]
+        outs = []
+        for b in batches:
+            outs.append(lazy.probe_and_insert(b, eager=False))
+        # no action ran yet on the lazy side; collect() now plays the
+        # role of the frontier-commit action for every pending delta
+        got_l = [
+            {r.url: r.was_new for r in o.collect()} for o in outs
+        ]
+        got_e = [
+            {r.url: r.was_new for r in eager.probe_and_insert(b).collect()}
+            for b in batches
+        ]
+        assert got_l == got_e
+        assert lazy.exact.count() == eager.exact.count() == 600
+        sl = {r.pid: bytes(r.bitmap) for r in lazy.state.collect()}
+        se = {r.pid: bytes(r.bitmap) for r in eager.state.collect()}
+        assert sl == se
+
 
 class TestPoliteness:
     def _frontier(self, spark, per_host, hosts=4):
