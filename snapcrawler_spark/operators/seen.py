@@ -120,14 +120,21 @@ class BloomSeenSet:
         skips the dedup shuffle when the caller already deduped (the
         wave loop's first-enqueuer-wins window does).
 
-        ``eager=False`` defers ONLY the returned delta's checkpoint to
-        the caller's next action (the wave loop's frontier commit
-        consumes the delta, so the verdict-filter + exact-rescue
-        anti-join ride that job instead of paying a dedicated one per
-        probe). The cogroup checkpoint stays eager either way: it is
-        the probe's state-update pass, every downstream plan (verdicts,
-        next-wave bitmaps, the delta itself) reads its blocks, and the
-        caller's riding candidate observations resolve on it."""
+        ``eager=False`` skips the delta's dedicated result job: the
+        delta plan is exchange-shaped (anti-join over the checkpointed
+        cogroup), so its AQE intermediate stages still run at creation,
+        but the final result stage defers to the caller's next action
+        (the wave loop's frontier commit consumes the delta) — one
+        fewer driver-blocking job per probe. The cogroup checkpoint
+        stays eager either way: it is the probe's state-update pass,
+        every downstream plan (verdicts, next-wave bitmaps, the delta
+        itself) reads its blocks, and — critically — its real execution
+        resolves the caller's riding candidate observations BEFORE the
+        lazy delta's creation event can latch them at zero
+        (lazy-checkpoint creation fires a success event whose
+        CollectMetrics rows are zero for any node in the unexecuted
+        final stage; tests/test_observation_safety.py pins the
+        hazard)."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = self._keyed(base if assume_unique else base.distinct())
         m_bits, k = self.m_bits, self.n_hashes
@@ -280,14 +287,21 @@ class ExactSeenSet:
         assume_unique: bool = False,
         eager: bool = True,
     ) -> DataFrame:
-        """``eager=False`` defers the delta checkpoint's materialization
-        to the first downstream action — the caller's way to RIDE an
-        action it will run anyway instead of paying a dedicated job per
-        probe (the wave loop folds the page-md5 probe into the items
-        checkpoint this way). The origin plan is one anti-join of the
-        candidates against bounded LogicalRDD parts, so the carried
-        plan-stats stay linear either way (see plans/wave_crawl.py on
-        why that matters)."""
+        """``eager=False`` skips the delta's dedicated result job (the
+        wave loop folds the page-md5 probe into the items checkpoint
+        this way). CALLER CONTRACT: lazy-checkpoint creation fires a
+        success event that permanently latches ZERO into any riding
+        Observation whose CollectMetrics sits in the plan's final
+        (unexecuted) stage — only observations BELOW the delta's last
+        exchange (AQE executes those intermediate stages at creation)
+        resolve with true values. The md5 fold satisfies this (the
+        fetch-side observations sit under the md5 window); the wave's
+        SEEN probe must NOT use eager=False with this backend because
+        obs_cands sits above the candidate window
+        (tests/test_observation_safety.py pins both cases). The origin
+        plan is one anti-join of the candidates against bounded
+        LogicalRDD parts, so the carried plan-stats stay linear either
+        way (see plans/wave_crawl.py on why that matters)."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = base if assume_unique else base.distinct()
         new = cand.join(self.df, "url", "left_anti").localCheckpoint(

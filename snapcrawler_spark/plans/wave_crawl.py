@@ -649,18 +649,26 @@ class WaveCrawl:
 
             # the seen probe's eager cogroup checkpoint scans every cands
             # partition — cands/fresh observations resolve here for free.
-            # The NEW-URLS delta checkpoint is LAZY (eager=False): the
-            # frontier commit below consumes it (probed → new_frontier),
-            # so the verdict filter + exact-rescue anti-join ride that
-            # write instead of paying a dedicated job per wave — the
-            # same fold the md5 probe does onto the items checkpoint.
-            # Everything between here and the commit (tally, budgets)
-            # derives from the fetch side, not the delta, and the
-            # catalog snapshot that appends the delta runs after the
-            # commit, so the delta is always materialized before read.
+            # For the cogroup backends the NEW-URLS delta checkpoint is
+            # LAZY (eager=False): the frontier commit below consumes it
+            # (probed → new_frontier), so the delta's result stage rides
+            # that write instead of paying a dedicated job per wave —
+            # the same fold the md5 probe does onto the items
+            # checkpoint. Everything between here and the commit
+            # (tally, budgets) derives from the fetch side, not the
+            # delta, and the catalog snapshot that appends the delta
+            # runs after the commit, so the delta is always
+            # materialized before read. The EXACT backend must stay
+            # eager: it has no state pass of its own, and a lazy delta's
+            # creation event would latch a racy (often zero) value into
+            # obs_cands — the CollectMetrics sits above the candidate
+            # window, i.e. in the delta's final (unexecuted) stage
+            # (tests/test_observation_safety.py pins the hazard class).
             t_ph = _time.time()
             probed = self.seen.probe_and_insert(
-                cands, assume_unique=True, eager=False
+                cands,
+                assume_unique=True,
+                eager=isinstance(self.seen, ExactSeenSet),
             )
             self.phase_secs["seen_probe"] = (
                 self.phase_secs.get("seen_probe", 0.0) + _time.time() - t_ph
