@@ -19,6 +19,21 @@ Sizing: 10^10 keys × 10 bits ≈ 12.5 GB of bitmap; at P=4096 that is
 ~3 MB per partition — one Arrow batch. Here P defaults small for
 local[32]; both knobs are CrawlConfig fields.
 
+Rescue-join scale note (10^10 deployment): the maybe-seen sliver is
+FPs (~1%) PLUS true duplicates, and true dups dominate in real crawls
+(most extracted links point at already-seen pages), so the sliver is
+NOT reliably broadcastable and the exact side can never be (Spark only
+builds the broadcast hash on the right side of a LEFT ANTI join). The
+sandbox plan therefore sort-merge-joins, which shuffles the exact
+history per wave — fine at test scale, wrong at 10^10. The production
+shape is to keep the catalog's exact table bucketed by url-hash
+(Iceberg bucket transform) so the anti-join becomes a
+storage-partitioned join: the exact side is SCANNED in place (no
+shuffle — only the sliver moves), and parquet column bloom filters on
+``url`` skip the row groups the sliver cannot touch. The append-only
+delta discipline below is what makes that cheap: each wave adds one
+bucketed O(new) file set, never rewriting history.
+
 ``CuckooSeenSet`` is a drop-in variant with the same interface plus
 ``remove()`` — deletable entries for frontier-eviction semantics a
 bloom cannot express (partial-key cuckoo: 4-slot buckets, XOR
