@@ -366,6 +366,76 @@ class ExactSeenSet:
         self._pending_snapshot = []
 
 
+class BucketedExactStore:
+    """Deployment-shaped exact companion: the seen history as a
+    url-BUCKETED catalog table, so the per-wave rescue anti-join SCANS
+    the exact side in place instead of shuffling it (the local
+    datasource-bucketing analog of the Iceberg ``bucket(url)``
+    transform described in the module docstring).
+
+    Why this exists: the maybe-seen sliver contains true duplicates —
+    the dominant case in real crawls — so it is not reliably
+    broadcastable, and Spark can only build the broadcast hash on the
+    RIGHT side of a LEFT ANTI join, so the exact side never broadcasts
+    either. A plain anti-join therefore sort-merge-shuffles the whole
+    history every wave: O(total) network per wave at 10^10 URLs. With
+    the history bucketed by url, the join requirement is already
+    satisfied on the exact side — only the sliver moves through an
+    exchange, the bucketed files are read where they lie, the ``url``
+    column is pruned at the scan, and IsNotNull pushes down
+    (tests pin ``Bucketed: true`` + exactly one Exchange in the plan).
+
+    Appends are bucket-preserving and O(new): each wave adds one file
+    set per bucket, never rewriting history — the same append-only
+    delta discipline as the in-memory parts above (compaction at scale
+    is the table format's file-rewrite action, out of scope here).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        table: str = "seen_exact_bucketed",
+        buckets: int = 64,
+    ):
+        self.spark = spark
+        self.table_name = table
+        self.buckets = buckets
+        self._path = path
+        if not spark.catalog.tableExists(table):
+            empty = spark.createDataFrame([], "url string, pid int")
+            self._writer(empty).saveAsTable(table)
+
+    def _writer(self, df: DataFrame):
+        return (
+            df.write.mode("append")
+            .bucketBy(self.buckets, "url")
+            .sortBy("url")
+            .option("path", self._path)
+        )
+
+    def append(self, delta: DataFrame) -> None:
+        """O(new) bucket-preserving append (Spark validates the bucket
+        spec against the existing table, so a mismatched writer fails
+        loudly instead of silently degrading the join)."""
+        self._writer(delta.select("url", "pid")).saveAsTable(self.table_name)
+
+    @property
+    def df(self) -> DataFrame:
+        return self.spark.table(self.table_name)
+
+    def rescue(self, maybe: DataFrame, url_col: str = "url") -> DataFrame:
+        """maybe-seen sliver → rows NOT in the exact history. The exact
+        side resolves the join's hash-partitioning requirement from its
+        bucketing — scanned in place, no exchange."""
+        return maybe.join(
+            self.df.select(F.col("url").alias(url_col)), url_col, "left_anti"
+        )
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
+
+
 def _cuckoo_unpack(blob: bytes, n_buckets: int):
     """State blob layout: table bytes (n_buckets·4·2) + stash (k·8)."""
     tbl_bytes = n_buckets * 4 * 2

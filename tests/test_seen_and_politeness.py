@@ -100,6 +100,82 @@ class TestSeenSet:
         assert sl == se
 
 
+class TestBucketedExactStore:
+    """Deployment-shaped rescue join: the exact history bucketed by url
+    so the anti-join scans it in place (operators/seen.py
+    BucketedExactStore — the sandbox analog of the Iceberg bucket
+    transform the module docstring describes for 10^10 scale)."""
+
+    def test_rescue_matches_plain_anti_join(self, spark, tmp_path):
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        store = BucketedExactStore(
+            spark, str(tmp_path / "t"), table="bstore_correct", buckets=8
+        )
+        try:
+            d1 = _urls(spark, 0, 300).withColumn(
+                "pid", (F.xxhash64("url") % 8).cast("int")
+            )
+            d2 = _urls(spark, 200, 500).withColumn(
+                "pid", (F.xxhash64("url") % 8).cast("int")
+            )
+            store.append(d1)
+            store.append(d2)
+            sliver = _urls(spark, 250, 650)
+            got = {r.url for r in store.rescue(sliver).collect()}
+            want = {
+                r.url
+                for r in sliver.join(
+                    d1.select("url").unionByName(d2.select("url")),
+                    "url",
+                    "left_anti",
+                ).collect()
+            }
+            assert got == want
+            assert len(got) == 150  # 500..649 unseen
+        finally:
+            store.drop()
+
+    def test_rescue_scans_exact_side_in_place(self, spark, tmp_path):
+        """Plan pin: with AQE/broadcast disabled (forcing the
+        sort-merge shape the join takes at 10^10 scale), the rescue
+        plan carries exactly ONE Exchange — the sliver side — while the
+        exact side is a bucketed in-place scan with the url column
+        pruned."""
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        store = BucketedExactStore(
+            spark, str(tmp_path / "t"), table="bstore_plan", buckets=8
+        )
+        confs = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            store.append(
+                _urls(spark, 0, 400).withColumn(
+                    "pid", (F.xxhash64("url") % 8).cast("int")
+                )
+            )
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            plan = (
+                store.rescue(_urls(spark, 300, 500))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert plan.count("Exchange") == 1
+            assert "Bucketed: true" in plan
+            assert "SelectedBucketsCount" in plan
+            assert "ReadSchema: struct<url:string>" in plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+            store.drop()
+
+
 class TestPoliteness:
     def _frontier(self, spark, per_host, hosts=4):
         rows = [
