@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, _corpus.ALT_CONFIG
         ),
         "corpus_sample_stratified": _corpus.sample_stratified,
+        "corpus_shard_pack": _corpus.shard_pack,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_image_phash": _imgdedup.dedup_image_phash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
@@ -1089,6 +1090,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE bucket < (CASE {rate_cases}
                         ELSE {_corpus.SAMPLE_DEFAULT_E4} END)
         ORDER BY doc_id
+    """
+    # token-budget shard packing: exclusive global prefix sum of
+    # whitespace token counts in doc_id order, shard = prefix // budget.
+    # Engine side is operators/order.prefix_sum (range-partitioned, no
+    # single-partition window); the oracle is the plain window form —
+    # identical integers, so the floor-div matches bitwise
+    sqls["corpus_shard_pack"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 cast(len(string_split(text, ' ')) as int) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               cast(coalesce(cast(sum(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) as bigint), 0)
+                    // {_corpus.SHARD_BUDGET_TOKENS} as bigint) AS shard_id
+        FROM t ORDER BY doc_id
     """
     # image pHash near-dup clusters over the seeded deterministic image
     # table (operators/image_dedup.seeded_phash_images): the oracle is

@@ -68,3 +68,60 @@ def dense_order_key(
         )
         .drop("__pid")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = global running sum of ``value_col`` by
+    ``order_cols`` — same zipWithIndex-style construction as
+    ``dense_order_key`` (range-repartition, per-partition value totals
+    collected as P rows, driver prefix-sums the offsets, partitioned
+    window adds the within-partition running sum), so no
+    single-partition window at any scale.
+
+    ``exclusive=True`` yields the sum of all STRICTLY-PRECEDING rows
+    (0 for the first row) — the form shard packing wants: a row's shard
+    is decided by the tokens before it, so every shard's first row
+    starts exactly at a budget boundary. Requires ``order_cols`` to be
+    a unique key, like ``dense_order_key``.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint()
+    totals = {
+        r["__pid"]: r["t"]
+        for r in parts.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("t"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    running = F.coalesce(
+        F.sum(F.col(value_col).cast("long")).over(w), F.lit(0)
+    )
+    return parts.withColumn(
+        out_col, (omap[F.col("__pid")] + running).cast("long")
+    ).drop("__pid")

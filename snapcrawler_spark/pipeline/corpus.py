@@ -175,3 +175,46 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < rate)
         .orderBy("doc_id")
     )
+
+
+# tokens per training shard: the sf0.01 documents table carries ~100k
+# whitespace tokens total, so this yields a dozen-plus shards — enough
+# to exercise several budget boundaries in the gate
+SHARD_BUDGET_TOKENS = 8192
+
+
+def shard_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = SHARD_BUDGET_TOKENS,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment — the sharding step a
+    training-data run applies after corpus construction: documents in
+    doc_id order are packed into consecutive shards of
+    ``budget_tokens`` whitespace tokens, ``shard_id = floor(exclusive
+    prefix tokens / budget)``. The exclusive prefix sum means a shard
+    boundary always falls exactly at a budget multiple and a document
+    straddling the boundary belongs to the shard its FIRST token lands
+    in — a total, engine-independent contract (the DuckDB oracle is the
+    same window expression).
+
+    Scale shape: the global running sum is operators/order.prefix_sum —
+    range-repartition + per-partition windows + a P-row driver offset
+    collect — never a single-partition window, so the pack
+    distributes at any corpus size.
+    """
+    from snapcrawler_spark.operators.order import prefix_sum
+
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = prefix_sum(
+        d, ["doc_id"], "n_tokens", out_col="prefix_tokens", exclusive=True
+    )
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(F.col("prefix_tokens") / F.lit(budget_tokens))
+        .cast("long")
+        .alias("shard_id"),
+    ).orderBy("doc_id")

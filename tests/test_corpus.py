@@ -73,3 +73,65 @@ def test_exact_precedes_near_dup_and_keeper_ids(spark, tmp_path):
     built = {r.doc_id for r in C.corpus_build(spark, root).collect()}
     assert 1 not in built
     assert built | set(reasons) == {0, 1, 2}
+
+
+class TestShardPack:
+    def test_prefix_sum_matches_pandas_cumsum(self, spark):
+        from pyspark.sql import functions as F
+
+        from snapcrawler_spark.operators.order import prefix_sum
+
+        df = spark.range(200).select(
+            F.col("id").alias("k"), ((F.col("id") * 7) % 13 + 1).alias("v")
+        )
+        pdf = df.orderBy("k").toPandas()
+        want_incl = pdf["v"].cumsum().tolist()
+        want_excl = [0] + want_incl[:-1]
+        got_incl = (
+            prefix_sum(df, ["k"], "v", out_col="p")
+            .orderBy("k")
+            .select("p")
+            .toPandas()["p"]
+            .tolist()
+        )
+        got_excl = (
+            prefix_sum(df, ["k"], "v", out_col="p", exclusive=True)
+            .orderBy("k")
+            .select("p")
+            .toPandas()["p"]
+            .tolist()
+        )
+        assert got_incl == want_incl
+        assert got_excl == want_excl
+
+    def test_prefix_sum_windows_are_partitioned(self, spark):
+        """Scale pin: every window in the prefix-sum plan is partitioned
+        (by the range-partition id) — no global single-partition
+        window at any corpus size."""
+        from pyspark.sql import functions as F
+
+        from snapcrawler_spark.operators.order import prefix_sum
+
+        df = spark.range(50).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        out = prefix_sum(df, ["k"], "v", out_col="p")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+        assert win_lines, "expected a Window node in the plan"
+        assert all("__pid" in ln for ln in win_lines), win_lines
+
+    def test_shard_pack_invariants(self, spark):
+        """Shards are contiguous in doc order, every shard's exclusive
+        prefix range sits inside [shard*B, (shard+1)*B), and token
+        counts match the text_token_count definition."""
+        rows = C.shard_pack(spark, SF_DIR, budget_tokens=512).collect()
+        assert rows == sorted(rows, key=lambda r: r.doc_id)
+        shard_ids = [r.shard_id for r in rows]
+        assert shard_ids == sorted(shard_ids)  # non-decreasing
+        assert shard_ids[0] == 0
+        prefix = 0
+        for r in rows:
+            assert r.shard_id == prefix // 512
+            prefix += r.n_tokens
+        assert shard_ids[-1] >= 1  # the budget actually splits sf0.001
