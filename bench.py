@@ -45,6 +45,8 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "ann_brute_force",
     "text_quality_score",
+    # round 5: token-budget shard packing (global prefix sum shape)
+    "corpus_shard_pack",
 ]
 
 
