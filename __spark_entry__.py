@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "corpus_sample_stratified": _corpus.sample_stratified,
         "corpus_shard_pack": _corpus.shard_pack,
+        "corpus_interleave": _corpus.interleave,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_image_phash": _imgdedup.dedup_image_phash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
@@ -1109,6 +1110,32 @@ def oracle_sql() -> dict[str, str]:
                     ) as bigint), 0)
                     // {_corpus.SHARD_BUDGET_TOKENS} as bigint) AS shard_id
         FROM t ORDER BY doc_id
+    """
+    # deterministic mixture interleaving: per-lang rank r, virtual time
+    # pos_e6 = (r*10^8) // weight_e2, global dense rank over
+    # (pos, lang, doc_id). Engine global rank = dense_order_key; oracle
+    # = the plain global window — identical integers
+    mix_cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {wt}"
+        for lg, wt in _corpus.MIX_WEIGHT_E2.items()
+    )
+    sqls["corpus_interleave"] = f"""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 cast(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                      as bigint) AS r
+          FROM documents
+        ), p AS (
+          SELECT doc_id, lang, r,
+                 cast((r * 100000000) //
+                      (CASE {mix_cases} ELSE {_corpus.MIX_DEFAULT_E2} END)
+                      as bigint) AS pos_e6
+          FROM r
+        )
+        SELECT doc_id, lang, r, pos_e6,
+               cast(row_number() OVER (ORDER BY pos_e6, lang, doc_id)
+                    as bigint) AS interleave_seq
+        FROM p ORDER BY doc_id
     """
     # image pHash near-dup clusters over the seeded deterministic image
     # table (operators/image_dedup.seeded_phash_images): the oracle is

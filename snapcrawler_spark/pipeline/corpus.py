@@ -218,3 +218,53 @@ def shard_pack(
         .cast("long")
         .alias("shard_id"),
     ).orderBy("doc_id")
+
+
+# per-language mixture weights ×100 — the deterministic analog of
+# temperature-weighted source sampling: a source of weight w emits its
+# r-th document at virtual time r/w, so higher-weight (tail) languages
+# appear denser early in the stream. en is downweighted 3× here.
+MIX_WEIGHT_E2 = {"en": 100}
+MIX_DEFAULT_E2 = 300
+
+
+def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source interleaving — the mixture-ordering
+    step between corpus construction and shard packing: documents from
+    each language stream merge into one global order by virtual time
+    ``pos = r / w`` (r = 1-based rank within the language by doc_id,
+    w = the language's mixture weight), ties broken by (lang, doc_id).
+    ``interleave_seq`` is the resulting dense global 1-based rank.
+
+    Scale shape: the per-language rank is a PARTITIONED window; the
+    global rank over (pos, lang, doc_id) is operators/order.
+    dense_order_key (range-repartition + P-row offset collect) — no
+    single-partition window anywhere. Virtual time is integer-exact:
+    ``pos_e6 = (r * 10^8) div weight_e2`` = floor(r/w · 10^6), the same
+    integer expression the DuckDB oracle computes.
+    """
+    from pyspark.sql import Window
+
+    from snapcrawler_spark.operators.order import dense_order_key
+
+    d = docs(spark, sf_dir).select("doc_id", "lang")
+    w_lang = Window.partitionBy("lang").orderBy("doc_id")
+    weight = F.lit(MIX_DEFAULT_E2)
+    for lg, wt in MIX_WEIGHT_E2.items():
+        weight = F.when(F.col("lang") == lg, F.lit(wt)).otherwise(weight)
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_lang).cast("long").alias("r"),
+        weight.alias("__w"),
+    ).select(
+        "doc_id",
+        "lang",
+        "r",
+        F.expr("(r * 100000000) div __w").alias("pos_e6"),
+    )
+    return (
+        dense_order_key(ranked, ["pos_e6", "lang", "doc_id"], "interleave_seq")
+        .select("doc_id", "lang", "r", "pos_e6", "interleave_seq")
+        .orderBy("doc_id")
+    )

@@ -135,3 +135,23 @@ class TestShardPack:
             assert r.shard_id == prefix // 512
             prefix += r.n_tokens
         assert shard_ids[-1] >= 1  # the budget actually splits sf0.001
+
+
+class TestInterleave:
+    def test_interleave_invariants(self, spark):
+        rows = C.interleave(spark, SF_DIR).collect()
+        n = len(rows)
+        # dense permutation 1..n
+        assert sorted(r.interleave_seq for r in rows) == list(range(1, n + 1))
+        # each language's stream keeps its internal order
+        by_lang: dict = {}
+        for r in sorted(rows, key=lambda r: r.r):
+            by_lang.setdefault(r.lang, []).append(r.interleave_seq)
+        for seqs in by_lang.values():
+            assert seqs == sorted(seqs)
+        # the 3x-downweighted language (en) is under-represented in the
+        # stream's first half relative to its corpus share
+        en_share = sum(1 for r in rows if r.lang == "en") / n
+        first_half = sorted(rows, key=lambda r: r.interleave_seq)[: n // 2]
+        en_first = sum(1 for r in first_half if r.lang == "en") / len(first_half)
+        assert en_first < en_share
