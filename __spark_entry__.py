@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _corpus.sample_stratified,
         "corpus_shard_pack": _corpus.shard_pack,
         "corpus_interleave": _corpus.interleave,
+        "corpus_pipeline_pack": _corpus.pipeline_pack,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_image_phash": _imgdedup.dedup_image_phash,
         "dedup_embedding_cosine": _ann.dedup_embedding_cosine,
@@ -1136,6 +1137,46 @@ def oracle_sql() -> dict[str, str]:
                cast(row_number() OVER (ORDER BY pos_e6, lang, doc_id)
                     as bigint) AS interleave_seq
         FROM p ORDER BY doc_id
+    """
+    # capstone: the full chain (build -> source-mixture interleave of
+    # survivors -> shard pack in interleave order) as one query; the
+    # oracle composes corpus_build's SQL with the two window stages
+    pipe_cases = " ".join(
+        f"WHEN source = '{s}' THEN {wt}"
+        for s, wt in _corpus.PIPE_MIX_WEIGHT_E2.items()
+    )
+    sqls["corpus_pipeline_pack"] = f"""
+        WITH surv AS (
+          SELECT doc_id FROM ({sqls['corpus_build']}) x
+        ), d AS (
+          SELECT doc.doc_id, doc.source,
+                 cast(len(string_split(doc.text, ' ')) as int) AS n_tokens
+          FROM documents doc JOIN surv ON surv.doc_id = doc.doc_id
+        ), rk AS (
+          SELECT doc_id, source, n_tokens,
+                 cast(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                      as bigint) AS r
+          FROM d
+        ), ps AS (
+          SELECT doc_id, source, n_tokens,
+                 cast((r * 100000000) //
+                      (CASE {pipe_cases}
+                       ELSE {_corpus.PIPE_MIX_DEFAULT_E2} END)
+                      as bigint) AS pos_e6
+          FROM rk
+        ), il AS (
+          SELECT doc_id, source, n_tokens,
+                 cast(row_number() OVER (ORDER BY pos_e6, source, doc_id)
+                      as bigint) AS interleave_seq
+          FROM ps
+        )
+        SELECT doc_id, source, interleave_seq, n_tokens,
+               cast(coalesce(cast(sum(n_tokens) OVER (
+                      ORDER BY interleave_seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) as bigint), 0)
+                    // {_corpus.PIPE_SHARD_BUDGET_TOKENS} as bigint) AS shard_id
+        FROM il ORDER BY doc_id
     """
     # image pHash near-dup clusters over the seeded deterministic image
     # table (operators/image_dedup.seeded_phash_images): the oracle is

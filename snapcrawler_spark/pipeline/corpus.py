@@ -268,3 +268,79 @@ def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "r", "pos_e6", "interleave_seq")
         .orderBy("doc_id")
     )
+
+
+# capstone mixture for the full pipeline: survivors interleave by
+# SOURCE (corpus_build keeps a single language, so language mixing is
+# vacuous there); the first five sources are upweighted 3x
+PIPE_MIX_WEIGHT_E2 = {f"src{i}": 300 for i in range(5)}
+PIPE_MIX_DEFAULT_E2 = 100
+PIPE_SHARD_BUDGET_TOKENS = 4096
+
+
+def pipeline_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: CorpusConfig | None = None,
+    budget_tokens: int = PIPE_SHARD_BUDGET_TOKENS,
+) -> DataFrame:
+    """The complete training-data chain as ONE relational plan:
+    ``corpus_build`` (lang filter → quality → exact keep-first →
+    near-dup keep-canonical) → source-mixture interleave of the
+    survivors (virtual time r/weight per source) → token-budget shard
+    packing in INTERLEAVE order, so every shard inherits the mixture
+    (each ~budget-token shard draws from sources at the configured
+    rates — what a curriculum/mixture spec actually wants, and why
+    packing must follow interleaving rather than doc_id order).
+
+    Scale shape: reuses the gated pieces — corpus_build's
+    shuffle-on-key stages, partitioned per-source rank windows,
+    ``dense_order_key`` for the global interleave rank and
+    ``prefix_sum`` for the running token total (both range-partitioned,
+    P-row driver collects, no single-partition window anywhere).
+    """
+    from pyspark.sql import Window
+
+    from snapcrawler_spark.operators.order import dense_order_key, prefix_sum
+
+    built = corpus_build(spark, sf_dir, cfg).select("doc_id")
+    d = (
+        docs(spark, sf_dir)
+        .join(built, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    weight = F.lit(PIPE_MIX_DEFAULT_E2)
+    for src, wt in PIPE_MIX_WEIGHT_E2.items():
+        weight = F.when(F.col("source") == src, F.lit(wt)).otherwise(weight)
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w_src).cast("long").alias("r"),
+        weight.alias("__w"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("(r * 100000000) div __w").alias("pos_e6"),
+    )
+    il = dense_order_key(
+        ranked, ["pos_e6", "source", "doc_id"], "interleave_seq"
+    )
+    packed = prefix_sum(
+        il, ["interleave_seq"], "n_tokens", out_col="__pfx", exclusive=True
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "interleave_seq",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(F.col("__pfx") / F.lit(budget_tokens))
+        .cast("long")
+        .alias("shard_id"),
+    ).orderBy("doc_id")

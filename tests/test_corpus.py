@@ -155,3 +155,28 @@ class TestInterleave:
         first_half = sorted(rows, key=lambda r: r.interleave_seq)[: n // 2]
         en_first = sum(1 for r in first_half if r.lang == "en") / len(first_half)
         assert en_first < en_share
+
+
+class TestPipelinePack:
+    def test_full_chain_invariants(self, spark):
+        built = {r.doc_id for r in C.corpus_build(spark, SF_DIR).collect()}
+        rows = C.pipeline_pack(spark, SF_DIR, budget_tokens=1024).collect()
+        # exactly the corpus_build survivors, packed
+        assert {r.doc_id for r in rows} == built
+        # interleave_seq is a dense permutation and shards are
+        # contiguous budget-bounded prefixes of the INTERLEAVE order
+        ordered = sorted(rows, key=lambda r: r.interleave_seq)
+        assert [r.interleave_seq for r in ordered] == list(
+            range(1, len(rows) + 1)
+        )
+        prefix = 0
+        for r in ordered:
+            assert r.shard_id == prefix // 1024
+            prefix += r.n_tokens
+        # upweighted sources (src0-4 at 3x) are over-represented in the
+        # stream's first half relative to their survivor share
+        up = {f"src{i}" for i in range(5)}
+        share = sum(1 for r in rows if r.source in up) / len(rows)
+        half = ordered[: len(rows) // 2]
+        share_first = sum(1 for r in half if r.source in up) / len(half)
+        assert share_first > share
