@@ -72,6 +72,46 @@ def _ensure_web_fixture(scale: str) -> str:
     return root
 
 
+def warm_jvm(spark, web_root: str) -> float:
+    """JIT/codegen warm-up before the measured crawl: a capped run of
+    the SAME engine whose result is discarded. Round-5 measurement
+    (BENCH/notes.md): in one JVM the second of two identical crawls is
+    25-35% faster than the first in BOTH orderings — fresh-subprocess
+    bench points otherwise charge that one-time JIT/codegen cost to the
+    single crawl they measure, a cost the long-running production
+    driver amortizes to nothing. The warm-up uses its own fresh seen
+    state; nothing but JVM warmth and the parquet page cache carries
+    into the measured run. Returns the warm-up's wall seconds (reported
+    in the bench JSON for transparency)."""
+    import time as _t
+
+    from snapcrawler_spark.conf import CrawlConfig
+    from snapcrawler_spark.io import read_fixture_parquet
+    from snapcrawler_spark.plans.wave_crawl import WaveCrawl
+
+    t0 = _t.time()
+    tables = read_fixture_parquet(spark, web_root)
+    seeds = [r.seed_url for r in tables["seeds"].collect()]
+    cfg = CrawlConfig(
+        seeds=tuple(seeds),
+        max_depth=0,
+        max_requests=150,
+        min_side_size=64,
+        formats=("jpg", "jpeg", "png", "webp", "bmp"),
+        deduplication=True,
+        host_budget=8192,
+        hot_host_salt=8,
+        seen_partitions=64,
+        extra={"hot_threshold": 4000},
+    )
+    wc = WaveCrawl(
+        spark, tables, cfg, seen_kind="bloom", collect_metrics=False
+    )
+    run = wc.run(max_waves=8)
+    run["accepted"].count()
+    return round(_t.time() - t0, 2)
+
+
 def crawl_throughput(spark, web_root: str) -> dict:
     """Run the wave crawl; return throughput numbers.
 
@@ -288,7 +328,9 @@ def main() -> None:
         cores = int(sys.argv[sys.argv.index("--crawl-point") + 1])
         web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
         spark = _get_spark(cores)
+        warm = warm_jvm(spark, web_root)
         out = crawl_throughput(spark, web_root)
+        out["warmup_secs"] = warm
         spark.stop()
         print(json.dumps(out))
         return
@@ -405,7 +447,9 @@ def main() -> None:
 
     spark = _get_spark(cores)
     web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
+    crawl_warm = warm_jvm(spark, web_root)
     crawl = crawl_throughput(spark, web_root)
+    crawl["warmup_secs"] = crawl_warm
     queries = run_queries(spark, sf_dir)
     print(
         json.dumps(
