@@ -323,6 +323,36 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Hopping-window aggregation (§2.10 streaming-shaped, the overlap
+    variant of tumbling_window): Spark's built-in F.window with a
+    30-minute slide over 1-hour windows — each event lands in exactly
+    size/slide = 2 windows, grids epoch-aligned on both engines. The
+    window start is emitted as epoch micros (TIMESTAMP_NTZ must be cast
+    to timestamp before unix_micros under the pinned-UTC session)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(
+                F.col("ts").cast("timestamp"), "1 hour", "30 minutes"
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias(
+                "win_start_us"
+            ),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
 def q_rollup_counts(spark, sf_dir):
     """Hierarchical lineage rollup (wave→host→total metrics shape)."""
     d = _t(spark, sf_dir, "documents")
@@ -390,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_kernels": q_string_kernels,
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "rollup_counts": q_rollup_counts,
         "pivot_status": q_pivot_status,
         "except_set": q_except_set,
@@ -665,6 +696,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                    cast(sum(cast(round(value * 100) as bigint)) as bigint) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            WITH x AS (
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - (s.i * INTERVAL '30 minutes') AS win_start,
+                     event_type, value
+              FROM events, (SELECT unnest([0, 1]) AS i) s
+            )
+            SELECT cast(epoch_us(win_start) as bigint) AS win_start_us,
+                   event_type, count(*) AS n,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                     AS value_cents
+            FROM x GROUP BY 1, 2
         """,
         "rollup_counts": """
             SELECT lang, source, count(*) AS n,
