@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from snapcrawler_spark.operators import image_dedup as _imgdedup
 from snapcrawler_spark.pipeline import ann as _ann
 from snapcrawler_spark.pipeline import corpus as _corpus
+from snapcrawler_spark.pipeline import decontaminate as _decon
 from snapcrawler_spark.pipeline import dedup as _dedup
 from snapcrawler_spark.pipeline import text as _text
 
@@ -430,13 +431,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
         "text_fingerprint": _text.fingerprint,
+        # Gopher-style repetition predicates (seeded variants — see
+        # pipeline/text.repetition)
+        "text_repetition": _text.repetition,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_cluster": _dedup.dedup_cluster,
         "corpus_build": _corpus.corpus_build,
         # second config point (CorpusConfig is a job parameter, not a
-        # constant): German slice at a looser quality bar
+        # constant): the 'und' slice at a looser quality bar (the
+        # synthetic corpus only ever predicts en/und — corpus.py)
         "corpus_build_alt": lambda spark, sf: _corpus.corpus_build(
             spark, sf, _corpus.ALT_CONFIG
         ),
@@ -446,7 +451,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_reasons_alt": lambda spark, sf: _corpus.corpus_reasons(
             spark, sf, _corpus.ALT_CONFIG
         ),
+        # third config point: the repetition gate on (REP_CONFIG sets
+        # max_top2gram_frac_e4 — drops high-repetition docs, reason
+        # 'dropped_repetition' last in precedence)
+        "corpus_build_rep": lambda spark, sf: _corpus.corpus_build(
+            spark, sf, _corpus.REP_CONFIG
+        ),
+        "corpus_reasons_rep": lambda spark, sf: _corpus.corpus_reasons(
+            spark, sf, _corpus.REP_CONFIG
+        ),
         "corpus_sample_stratified": _corpus.sample_stratified,
+        # benchmark decontamination: corpus docs sharing any 13-gram
+        # with the seeded eval set (pipeline/decontaminate.py —
+        # broadcast gram-hash probe, corpus side never shuffles)
+        "corpus_decontaminate": _decon.corpus_decontaminate,
         "corpus_shard_pack": _corpus.shard_pack,
         "corpus_interleave": _corpus.interleave,
         "corpus_pipeline_pack": _corpus.pipeline_pack,
@@ -777,6 +795,82 @@ def oracle_sql() -> dict[str, str]:
                      AS fp_bucket
             FROM documents ORDER BY doc_id
         """,
+        # Gopher-style repetition predicates over the seeded text
+        # variants (pipeline/text.repetition: doc_id%5 -> duplicated
+        # line, doc_id%7 -> ' # # ...' symbol suffix). Single double
+        # division per metric, floor-truncated — bit-identical engines.
+        "text_repetition": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN t1 || ' # # ...' ELSE t1 END AS t2
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                       ELSE text END AS t1
+                FROM documents) x
+            ), base AS (
+              SELECT doc_id, t2,
+                     string_split(t2, chr(10)) AS lines,
+                     regexp_split_to_array(t2, '\s+') AS words
+              FROM seeded
+            ), grams AS (
+              SELECT doc_id, t2, lines, words,
+                list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1]) AS g2
+              FROM base
+            )
+            SELECT doc_id,
+              cast(len(lines) as int) AS n_lines,
+              cast(floor((len(lines) - len(list_distinct(lines)))
+                         * 10000.0 / len(lines)) as bigint)
+                AS dup_line_frac_e4,
+              cast(floor(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                list_max(list_transform(list_distinct(g2),
+                  u -> len(list_filter(g2, x -> x = u))))
+                * 10000.0 / len(g2) END) as bigint) AS top2gram_frac_e4,
+              cast(floor(((length(t2) - length(replace(t2, '#', '')))
+                          + (length(t2) - length(replace(t2, '...', ''))) / 3)
+                         * 10000.0 / len(words)) as bigint)
+                AS symbol_word_ratio_e4
+            FROM grams ORDER BY doc_id
+        """,
+        # benchmark decontamination: 13-gram intersect join between the
+        # corpus and the seeded eval excerpts (doc_id%17==3, tokens
+        # 5..29), on the same portable md5-derived 60-bit gram hashes
+        # the engine probes with (pipeline/decontaminate.py)
+        "corpus_decontaminate": """
+            WITH ev AS (
+              SELECT array_to_string(
+                       list_slice(string_split(text, ' '), 5, 29), ' ')
+                     AS text
+              FROM documents WHERE doc_id % 17 = 3
+            ), evg AS (
+              SELECT DISTINCT
+                cast(('0x' || substr(md5(g), 1, 15)) as bigint) AS g
+              FROM (
+                SELECT unnest(list_distinct(
+                  CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(list_slice(toks, i, i + 12), ' '))
+                  END)) AS g
+                FROM (SELECT string_split(text, ' ') AS toks FROM ev) x) y
+            ), dg AS (
+              SELECT doc_id,
+                cast(('0x' || substr(md5(g), 1, 15)) as bigint) AS g
+              FROM (
+                SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(list_slice(toks, i, i + 12), ' '))
+                  END)) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents) x) y
+            )
+            SELECT dg.doc_id,
+                   cast(count(DISTINCT dg.g) as bigint) AS n_overlap_grams
+            FROM dg JOIN evg ON dg.g = evg.g
+            GROUP BY dg.doc_id ORDER BY dg.doc_id
+        """,
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents
@@ -1040,7 +1134,31 @@ def oracle_sql() -> dict[str, str]:
     # threshold + exact keep-first + near-dup keep-canonical, composed
     # from the already-oracled stages. Parameterized by CorpusConfig —
     # the gates run at TWO config points (default + ALT_CONFIG).
+    # raw-text top-2-gram fraction (the corpus repetition signal —
+    # pipeline/text.raw_top2gram); used only by config points that set
+    # max_top2gram_frac_e4
+    _rep_sql = r"""
+        SELECT doc_id,
+          cast(floor(CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+            list_max(list_transform(list_distinct(g2),
+              u -> len(list_filter(g2, x -> x = u))))
+            * 10000.0 / len(g2) END) as bigint) AS top2gram_frac_e4
+        FROM (
+          SELECT doc_id,
+            list_transform(range(1, len(words)),
+                           i -> words[i] || ' ' || words[i+1]) AS g2
+          FROM (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+            FROM documents) w) g
+    """
+
     def _corpus_build_sql(cfg) -> str:
+        rep_join = rep_cond = ""
+        if cfg.max_top2gram_frac_e4 is not None:
+            rep_join = f"JOIN ({_rep_sql}) rp ON rp.doc_id = h.doc_id"
+            rep_cond = (
+                f"AND rp.top2gram_frac_e4 <= {cfg.max_top2gram_frac_e4}"
+            )
         return f"""
         WITH q AS (
           SELECT doc_id, quality_e4 FROM ({sqls['text_quality_score']}) x
@@ -1059,9 +1177,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN q ON q.doc_id = h.doc_id
         JOIN l ON l.doc_id = h.doc_id
         LEFT JOIN clusters c ON c.doc_id = h.doc_id
+        {rep_join}
         WHERE l.lang_pred = '{cfg.keep_lang}'
           AND q.quality_e4 >= {cfg.min_quality_e4}
           AND (c.doc_id IS NULL OR c.is_canonical)
+          {rep_cond}
         ORDER BY h.doc_id
     """
 
@@ -1074,6 +1194,16 @@ def oracle_sql() -> dict[str, str]:
     # breaks the dtype-strict value hash). Complement invariant:
     # |corpus_build| + |corpus_reasons| == |documents| (pytest-pinned).
     def _corpus_reasons_sql(cfg) -> str:
+        rep_join = rep_case = ""
+        if cfg.max_top2gram_frac_e4 is not None:
+            rep_join = f"JOIN ({_rep_sql}) rp ON rp.doc_id = h.doc_id"
+            rep_case = (
+                f"WHEN top2gram_frac_e4 > {cfg.max_top2gram_frac_e4} "
+                "THEN 'dropped_repetition'"
+            )
+        rep_col = (
+            ", rp.top2gram_frac_e4" if cfg.max_top2gram_frac_e4 is not None else ""
+        )
         return f"""
         WITH q AS (
           SELECT doc_id, quality_e4 FROM ({sqls['text_quality_score']}) x
@@ -1088,12 +1218,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT k, min(doc_id) AS keep_id FROM hashed GROUP BY k
         ), joined AS (
           SELECT h.doc_id, ke.keep_id, c.cluster_id, c.is_canonical,
-                 l.lang_pred, q.quality_e4
+                 l.lang_pred, q.quality_e4{rep_col}
           FROM hashed h
           JOIN keeper ke ON h.k = ke.k
           JOIN q ON q.doc_id = h.doc_id
           JOIN l ON l.doc_id = h.doc_id
           LEFT JOIN clusters c ON c.doc_id = h.doc_id
+          {rep_join}
         ), tagged AS (
           SELECT doc_id,
                  CASE
@@ -1103,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
                    WHEN lang_pred <> '{cfg.keep_lang}' THEN 'dropped_lang'
                    WHEN quality_e4 < {cfg.min_quality_e4}
                      THEN 'dropped_quality'
+                   {rep_case}
                  END AS reason,
                  CASE
                    WHEN doc_id <> keep_id THEN keep_id
@@ -1119,8 +1251,10 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["corpus_build"] = _corpus_build_sql(_corpus.CorpusConfig())
     sqls["corpus_build_alt"] = _corpus_build_sql(_corpus.ALT_CONFIG)
+    sqls["corpus_build_rep"] = _corpus_build_sql(_corpus.REP_CONFIG)
     sqls["corpus_reasons"] = _corpus_reasons_sql(_corpus.CorpusConfig())
     sqls["corpus_reasons_alt"] = _corpus_reasons_sql(_corpus.ALT_CONFIG)
+    sqls["corpus_reasons_rep"] = _corpus_reasons_sql(_corpus.REP_CONFIG)
     rate_cases = " ".join(
         f"WHEN lang = '{lg}' THEN {r}"
         for lg, r in _corpus.SAMPLE_RATE_E4.items()

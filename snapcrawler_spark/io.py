@@ -120,13 +120,17 @@ def write_fixture_parquet(web: dict, root: str) -> None:
                 T.LongType: pa.int64(),
                 T.DoubleType: pa.float64(),
                 T.BinaryType: pa.binary(),
+                T.BooleanType: pa.bool_(),
             }
             pa_schema = pa.Schema.from_pandas(pdf)
             for f in schema.fields:
                 if f.name not in pdf.columns or not pdf[f.name].isna().all():
                     continue
                 if isinstance(f.dataType, T.ArrayType):
-                    pa_type = pa.list_(_PA[type(f.dataType.elementType)])
+                    # unmapped element types (nested arrays, structs)
+                    # skip the pin, same as the scalar path below
+                    elem = _PA.get(type(f.dataType.elementType))
+                    pa_type = pa.list_(elem) if elem is not None else None
                 else:
                     pa_type = _PA.get(type(f.dataType))
                 if pa_type is not None:

@@ -17,12 +17,18 @@ operator (pipeline/dedup.py):
   ``64/seg_bits`` segments; two hashes within hamming distance h must
   agree on at least one segment when segments > h — so the self-join
   runs on (segment index, segment value) buckets, never all-pairs;
-- a doc-frequency cap on the (segment, value) buckets (the text-side
-  guard of pipeline/dedup.py:89-130) bounds residual skew: a bucket
-  holding more than ``max_segment_freq`` DISTINCT hashes is dropped
-  before the pair join (at 16-bit segments random collisions keep
-  buckets tiny — the cap only fires on adversarial inputs, trading a
-  sliver of recall for a hard quadratic bound);
+- a DENSITY-AWARE doc-frequency cap on the (segment, value) buckets
+  (the text-side guard of pipeline/dedup.py:89-130) bounds residual
+  skew: the effective cap is ``max(max_segment_freq,
+  DENSITY_CAP_MULT × ceil(n_distinct / 2^seg_bits))`` — a fixed
+  multiple of the EXPECTED bucket occupancy under uniform hashing —
+  so on any corpus size the average bucket always survives and only
+  buckets ≥ DENSITY_CAP_MULT× denser than random (adversarial
+  constant-segment mass) are dropped. A fixed absolute cap would
+  silently drop most buckets once n_distinct ≳ cap·2^seg_bits
+  (~2.7e8 at the defaults), finding zero pairs; the relative cap
+  keeps the per-bucket pair join bounded at
+  (DENSITY_CAP_MULT · n/2^seg_bits)² while never going degenerate;
 - verify with ``bit_count(a.phash ^ b.phash) <= h`` (JVM-side, one
   codegen'd expression);
 - resolve into clusters with the shared pointer-jumping
@@ -40,10 +46,14 @@ from snapcrawler_spark.pipeline.dedup import connected_components
 
 PHASH_BITS = 64
 PHASH_SEGS = 4  # 16-bit segments; pigeonhole sound for hamming <= 3
-# distinct hash values allowed per (segment, value) bucket before the
-# bucket is dropped from candidate generation (skew guard — see module
-# docstring). 4096² pair rows per surviving bucket is the worst case.
+# floor on the per-(segment, value) bucket cap — below this the cap is
+# absolute; above it the cap scales with corpus density (see module
+# docstring). 4096² pair rows per surviving bucket is the small-corpus
+# worst case.
 MAX_SEGMENT_FREQ = 4096
+# buckets denser than this multiple of the EXPECTED uniform occupancy
+# (n_distinct / 2^seg_bits) are dropped from candidate generation
+DENSITY_CAP_MULT = 64
 
 
 def seeded_phash_images(spark, sf_dir: str) -> DataFrame:
@@ -68,6 +78,17 @@ def seeded_phash_images(spark, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+    # the twin offsets are fixed literals mirrored in the DuckDB oracle
+    # SQL — they are only collision-free while every base doc_id is
+    # below the smallest offset. Fail loudly (here AND in any bench/SF
+    # that would break the invariant) instead of letting twin ids alias
+    # base ids into nondeterministic dropDuplicates divergence.
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= 10_000_000:
+        raise ValueError(
+            f"seeded_phash_images: max doc_id {max_id} >= 1e7 twin "
+            "offset — raise the offsets (and the oracle SQL) in lockstep"
+        )
     base = d.withColumn(
         "base",
         _hash60(F.concat(F.lit("ph#"), F.col("doc_id").cast("string"))),
@@ -140,8 +161,23 @@ def _distinct_hash_pairs(
         freq = segs.groupBy("seg", "seg_val").agg(
             F.count("*").alias("seg_df")
         )
+        # density-aware effective cap: never below max_segment_freq,
+        # and at scale a fixed multiple of the expected uniform bucket
+        # occupancy n/2^seg_bits — the 1-row total broadcast keeps the
+        # whole thing lazy (no driver action inside plan construction)
+        total = F.broadcast(
+            hashes.agg(F.count("*").alias("n_hashes"))
+        )
+        eff_cap = F.greatest(
+            F.lit(max_segment_freq).cast("long"),
+            F.ceil(
+                F.col("n_hashes") * F.lit(DENSITY_CAP_MULT) / F.lit(2**seg_bits)
+            ),
+        )
         segs = segs.join(
-            freq.where(F.col("seg_df") <= max_segment_freq),
+            freq.crossJoin(total)
+            .where(F.col("seg_df") <= eff_cap)
+            .select("seg", "seg_val"),
             ["seg", "seg_val"],
         ).select("ph", "seg", "seg_val")
     a = segs.alias("a")

@@ -44,6 +44,11 @@ class CorpusConfig:
     keep_lang: str = "en"
     min_quality_e4: int = 3000
     cluster_threshold: float = 0.5  # minhash-LSH near-dup threshold
+    # Gopher-style repetition gate (pipeline/text._repetition_cols):
+    # drop docs whose most frequent word 2-gram takes more than this
+    # fraction (×10⁴) of all 2-gram slots. None = stage off (the
+    # default and ALT points predate the signal and stay bit-identical)
+    max_top2gram_frac_e4: int | None = None
 
 
 # second config point for the *_alt gates: keep the unidentified-
@@ -51,6 +56,12 @@ class CorpusConfig:
 # only en/und, so 'und' is the non-vacuous second value) — exercises
 # that thresholds really are job parameters, not constants
 ALT_CONFIG = CorpusConfig(keep_lang="und", min_quality_e4=2000)
+
+# third config point (*_rep gates): the default slice with the
+# repetition gate on — 500e-4 sits between the sf0.01 median (~333) and
+# the tail (max ~1666), so the stage drops a non-vacuous fraction
+# (~22% of raw docs) while most survive
+REP_CONFIG = CorpusConfig(max_top2gram_frac_e4=500)
 
 # backwards-compatible module constants (the default config point)
 MIN_QUALITY_E4 = CorpusConfig.min_quality_e4
@@ -82,7 +93,7 @@ def corpus_build(
         spark, sf_dir, cfg.cluster_threshold
     ).where(~F.col("is_canonical")).select("doc_id")
 
-    return (
+    out = (
         exact_kept.join(non_canonical, "doc_id", "left_anti")
         .join(lang, "doc_id")
         .join(qual, "doc_id")
@@ -90,9 +101,15 @@ def corpus_build(
             (F.col("lang_pred") == cfg.keep_lang)
             & (F.col("quality_e4") >= cfg.min_quality_e4)
         )
-        .select("doc_id", "lang_pred", "quality_e4")
-        .orderBy("doc_id")
     )
+    if cfg.max_top2gram_frac_e4 is not None:
+        from snapcrawler_spark.pipeline.text import raw_top2gram
+
+        rep = raw_top2gram(spark, sf_dir)
+        out = out.join(rep, "doc_id").where(
+            F.col("top2gram_frac_e4") <= cfg.max_top2gram_frac_e4
+        )
+    return out.select("doc_id", "lang_pred", "quality_e4").orderBy("doc_id")
 
 
 def corpus_reasons(
@@ -131,6 +148,16 @@ def corpus_reasons(
             F.lit("dropped_quality"),
         )
     )
+    if cfg.max_top2gram_frac_e4 is not None:
+        from snapcrawler_spark.pipeline.text import raw_top2gram
+
+        full = full.join(raw_top2gram(spark, sf_dir), "doc_id")
+        # last in precedence: a doc failing an earlier stage keeps that
+        # stage's reason (mirrors corpus_build's stage order)
+        reason = reason.when(
+            F.col("top2gram_frac_e4") > cfg.max_top2gram_frac_e4,
+            F.lit("dropped_repetition"),
+        )
     keeper_id = (
         F.when(F.col("doc_id") != F.col("keep_id"), F.col("keep_id"))
         .when(is_near, F.col("cluster_id"))

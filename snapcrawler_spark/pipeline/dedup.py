@@ -298,6 +298,34 @@ def dedup_simhash(
     return ham.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
 
+def _obs_changed(obs, joined: DataFrame) -> int:
+    """Read the per-round convergence count from its Observation, with a
+    recount fallback ONLY for the verified empty-metrics-row degenerate
+    case (AQE empty-relation propagation pruning the observed subtree
+    out of the checkpoint action — the same class plans.wave_crawl._obs_n
+    handles). A metrics row missing the ``n`` key, or any other failure,
+    re-raises: a genuine Observation breakage must crash the CC loop,
+    not silently recount forever."""
+    try:
+        row = obs.get
+    except Exception:
+        empty_row = False
+        try:
+            jo = getattr(obs, "_jo", None)
+            empty_row = jo is not None and jo.getRow().length() == 0
+        except Exception:
+            empty_row = False
+        if empty_row:
+            return joined.where(F.col("chg") == 1).count()
+        raise
+    if "n" not in row:
+        raise KeyError(
+            f"observation metrics missing 'n' (got {sorted(row)})"
+        )
+    # sum over an all-unchanged round is 0; over an empty round NULL
+    return int(row["n"] or 0)
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 64
 ) -> DataFrame:
@@ -370,10 +398,7 @@ def connected_components(
             .observe(obs, F.sum("chg").alias("n"))
         )
         labels = joined.select("doc_id", "label").localCheckpoint()
-        try:
-            changed = int(obs.get.get("n") or 0)
-        except Exception:
-            changed = joined.where(F.col("chg") == 1).count()
+        changed = _obs_changed(obs, joined)
         if changed == 0:
             break
     else:

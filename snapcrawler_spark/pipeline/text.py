@@ -92,6 +92,104 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _repetition_cols(text_col):
+    """Gopher-style repetition/quality signals over a text column, as
+    integer-e4 expressions every engine reproduces bit-for-bit (single
+    double division per metric, floor-truncated — see ``_e4``):
+
+    - ``dup_line_frac_e4``: fraction of newline-separated lines that are
+      duplicates of an earlier line (Rae et al. 2021 "duplicate line
+      fraction");
+    - ``top2gram_frac_e4``: fraction of word 2-grams taken by the most
+      frequent 2-gram (Gopher's "top 2-gram fraction", counted over
+      2-gram occurrences rather than characters — documented deviation);
+    - ``symbol_word_ratio_e4``: ('#' count + '…'-as-'...' count) per
+      word (Gopher's symbol-to-word ratio).
+
+    The per-row 2-gram mode is O(distinct·n) NATIVE list work inside
+    whole-stage codegen — documents are bounded (10s-1000s of tokens),
+    so this stays JVM-side with no UDF and no shuffle."""
+    lines = F.split(text_col, "\n")
+    words = F.split(text_col, r"\s+")
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    g2 = F.expr(
+        "CASE WHEN size(split(__t, '\\\\s+')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(__t, '\\\\s+')) - 1), "
+        "i -> concat(element_at(split(__t, '\\\\s+'), i), ' ', "
+        "element_at(split(__t, '\\\\s+'), i + 1))) END"
+    )
+    top2_cnt = F.expr(
+        "CASE WHEN size(__g2) = 0 THEN 0.0 ELSE "
+        "array_max(transform(array_distinct(__g2), "
+        "u -> size(filter(__g2, x -> x = u)))) * 10000.0 / size(__g2) END"
+    )
+    n_hash = F.length(text_col) - F.length(
+        F.expr("replace(__t, '#', '')")
+    )
+    n_ellipsis = (
+        F.length(text_col) - F.length(F.expr("replace(__t, '...', '')"))
+    ) / F.lit(3)
+    return {
+        "n_lines": n_lines.cast("int"),
+        "dup_line_frac_e4": F.floor(
+            (n_lines - F.size(F.array_distinct(lines)))
+            * F.lit(10000.0)
+            / n_lines
+        ).cast("long"),
+        "g2": g2,
+        "top2_frac": top2_cnt,
+        "symbol_word_ratio_e4": F.floor(
+            (n_hash + n_ellipsis) * F.lit(10000.0) / n_words
+        ).cast("long"),
+    }
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the repetition predicates. The synthetic documents
+    text carries no newlines or symbols, so — exactly like
+    operators/image_dedup.seeded_phash_images — deterministic seeded
+    variants make every metric non-vacuous at any scale factor (and the
+    DuckDB oracle applies the identical transform): docs with
+    doc_id % 5 == 0 get their text duplicated across a newline (dup-line
+    fraction 1/2 unless the % 7 suffix splits the pair), docs with
+    doc_id % 7 == 0 get a ' # # ...' symbol suffix. top2gram is
+    non-vacuous on the RAW text already (bounded vocabulary)."""
+    d = docs(spark, sf_dir)
+    t1 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(t1, F.lit(" # # ..."))
+    ).otherwise(t1)
+    base = d.select("doc_id", t2.alias("__t"))
+    c = _repetition_cols(F.col("__t"))
+    return (
+        base.withColumn("__g2", c["g2"])
+        .select(
+            "doc_id",
+            c["n_lines"].alias("n_lines"),
+            c["dup_line_frac_e4"].alias("dup_line_frac_e4"),
+            F.floor(c["top2_frac"]).cast("long").alias("top2gram_frac_e4"),
+            c["symbol_word_ratio_e4"].alias("symbol_word_ratio_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def raw_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, top2gram_frac_e4) over the RAW documents text — the
+    repetition signal ``corpus_build`` consumes when its config sets
+    ``max_top2gram_frac_e4`` (pipeline/corpus.py)."""
+    d = docs(spark, sf_dir).select("doc_id", F.col("text").alias("__t"))
+    c = _repetition_cols(F.col("__t"))
+    return d.withColumn("__g2", c["g2"]).select(
+        "doc_id",
+        F.floor(c["top2_frac"]).cast("long").alias("top2gram_frac_e4"),
+    )
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (md5 over lowercased alpha text) —
     the document analog of the page-MD5 dedup key

@@ -100,8 +100,18 @@ def _obs_n(obs, df) -> int:
     try:
         row = obs.get
     except Exception:
-        jo = getattr(obs, "_jo", None)
-        if jo is not None and jo.getRow().length() == 0:
+        # The empty-row confirmation reaches into the private Py4J
+        # handle (there is no public accessor for an empty metrics
+        # row); guard the introspection itself so a PySpark-internal
+        # rename degrades to re-raising the ORIGINAL failure instead
+        # of crashing the wave loop on an AttributeError.
+        empty_row = False
+        try:
+            jo = getattr(obs, "_jo", None)
+            empty_row = jo is not None and jo.getRow().length() == 0
+        except Exception:
+            empty_row = False
+        if empty_row:
             return df.count()
         raise
     if "n" not in row:

@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize(
-    "cfg", [None, C.ALT_CONFIG], ids=["default", "alt"]
+    "cfg", [None, C.ALT_CONFIG, C.REP_CONFIG], ids=["default", "alt", "rep"]
 )
 def test_reasons_complement_build(spark, cfg):
     """|corpus_build| + |corpus_reasons| == |documents| — every doc is
@@ -37,6 +37,58 @@ def test_alt_config_is_a_different_nonvacuous_point(spark):
     assert a, "ALT_CONFIG selects nothing — vacuous second config point"
     assert {r.doc_id for r in d} != {r.doc_id for r in a}
     assert all(r.lang_pred == C.ALT_CONFIG.keep_lang for r in a)
+
+
+def test_rep_config_drops_and_keeps(spark):
+    """The repetition gate (REP_CONFIG.max_top2gram_frac_e4) is a
+    non-vacuous third config point: at least one doc that survives the
+    default config is dropped with reason 'dropped_repetition', clean
+    docs survive, and repetition is LAST in reason precedence (docs
+    failing an earlier stage keep that stage's reason)."""
+    from snapcrawler_spark.pipeline.text import raw_top2gram
+
+    default_kept = {r.doc_id for r in C.corpus_build(spark, SF_DIR).collect()}
+    rep_kept = {
+        r.doc_id for r in C.corpus_build(spark, SF_DIR, C.REP_CONFIG).collect()
+    }
+    assert rep_kept, "REP_CONFIG selects nothing — vacuous"
+    assert rep_kept < default_kept  # strictly tighter, same other knobs
+    reasons = {
+        r.doc_id: r.reason
+        for r in C.corpus_reasons(spark, SF_DIR, C.REP_CONFIG).collect()
+    }
+    rep_dropped = {d for d, r in reasons.items() if r == "dropped_repetition"}
+    assert rep_dropped == default_kept - rep_kept
+    # every rep-dropped doc really exceeds the threshold; every kept
+    # doc really does not
+    top2 = {
+        r.doc_id: r.top2gram_frac_e4
+        for r in raw_top2gram(spark, SF_DIR).collect()
+    }
+    thr = C.REP_CONFIG.max_top2gram_frac_e4
+    assert all(top2[d] > thr for d in rep_dropped)
+    assert all(top2[d] <= thr for d in rep_kept)
+
+
+def test_repetition_gate_metrics(spark):
+    """Seeded variants make every repetition metric non-vacuous, and the
+    seeded values are exactly derivable: a %5 doc not also %7 has
+    dup_line_frac_e4 == 5000 (two identical lines); a %7 doc has
+    symbols; an untouched doc has neither."""
+    from snapcrawler_spark.pipeline.text import repetition
+
+    rows = {r.doc_id: r for r in repetition(spark, SF_DIR).collect()}
+    assert rows
+    for d, r in rows.items():
+        if d % 5 == 0 and d % 7 != 0:
+            assert r.n_lines == 2 and r.dup_line_frac_e4 == 5000
+        elif d % 5 != 0:
+            assert r.n_lines == 1 and r.dup_line_frac_e4 == 0
+        if d % 7 == 0:
+            assert r.symbol_word_ratio_e4 > 0
+        else:
+            assert r.symbol_word_ratio_e4 == 0
+        assert r.top2gram_frac_e4 > 0  # bounded vocab -> always repeats
 
 
 def test_exact_precedes_near_dup_and_keeper_ids(spark, tmp_path):

@@ -138,3 +138,37 @@ def test_connected_components_random_graphs(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.label for r in connected_components(df).collect()}
     assert got == _uf_oracle(edges)
+
+
+def test_obs_changed_raises_on_genuine_failure(spark):
+    """VERDICT r5 hygiene: the CC convergence read must NOT silently
+    recount on a genuine Observation breakage — only the verified
+    empty-metrics-row case falls back. A metrics row missing the 'n'
+    key (renamed/typo'd metric) raises."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from snapcrawler_spark.pipeline.dedup import _obs_changed
+
+    obs = Observation()
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("chg")
+    ).observe(obs, F.sum("chg").alias("m"))  # wrong alias, not 'n'
+    df.count()
+    with pytest.raises(KeyError, match="missing 'n'"):
+        _obs_changed(obs, df)
+
+
+def test_obs_changed_reads_sum(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from snapcrawler_spark.pipeline.dedup import _obs_changed
+
+    obs = Observation()
+    df = spark.range(7).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("long").alias("chg"),
+    ).observe(obs, F.sum("chg").alias("n"))
+    df.count()
+    assert _obs_changed(obs, df) == 3

@@ -161,3 +161,29 @@ class TestHotBucketBounds:
             and (r.ph_b & 0xFFFF) == shared_low
         }
         assert flood_pairs and not (surv & flood_pairs)
+
+    def test_cap_is_density_aware(self, spark):
+        """ADVICE r5: a fixed absolute cap goes degenerate once the
+        corpus is dense enough that AVERAGE buckets exceed it (at the
+        production defaults: n_distinct ≳ 2.7e8 → every bucket dropped
+        → zero pairs found). The effective cap must scale with
+        n/2^seg_bits: here an adversarially tiny max_segment_freq=1
+        against ~1.1k hashes (density cap ceil(1102·64/65536)=2) still
+        finds a hamming-1 pair whose shared buckets hold 2 hashes —
+        under the old absolute cap this returned an empty relation."""
+        rng = random.Random(4242)
+        rows = [
+            ("r%04d" % i, _to_i64(rng.getrandbits(64))) for i in range(1100)
+        ]
+        base = rng.getrandbits(64)
+        rows += [("pa", _to_i64(base)), ("pb", _to_i64(base ^ (1 << 37)))]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        hashes = df.select(F.col("phash").alias("ph")).distinct()
+        got = {
+            (r.ph_a, r.ph_b)
+            for r in _distinct_hash_pairs(
+                hashes, 3, max_segment_freq=1
+            ).collect()
+        }
+        a, b = _to_i64(base), _to_i64(base ^ (1 << 37))
+        assert (min(a, b), max(a, b)) in got
