@@ -211,4 +211,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, int | None]:
         px = decode_jpeg(data)
         # baseline JPEG here carries no density segment → dpi None
         return px, ("L" if px.ndim == 2 else "RGB"), None
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from snapcrawler_spark.kernels.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError("undecodable image payload")

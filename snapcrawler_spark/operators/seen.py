@@ -42,6 +42,9 @@ alternate addressing, bounded eviction chains with a stash).
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +84,7 @@ class BloomSeenSet:
         partitions: int = 64,
         m_bits: int = 1 << 17,
         n_hashes: int = 5,
+        exact_store: "BucketedExactStore | None" = None,
     ):
         self.spark = spark
         self.partitions = partitions
@@ -96,10 +100,31 @@ class BloomSeenSet:
         # from the probe-side parts so compaction never loses a delta)
         self._pending_snapshot: list[DataFrame] = []
         self._compact_at = 32
+        # opt-in deployment backend: the exact history lives in a
+        # url-bucketed on-disk table instead of in-memory checkpoint
+        # parts, so the rescue anti-join scans it in place (ONE exchange
+        # — the sliver side) instead of shuffling the full history every
+        # wave. Appends happen at probe time (the delta write is the
+        # wave's durable exact commit, Iceberg-append style); resume
+        # validity is tracked via (seq, gen) lineage — see
+        # BucketedExactStore.
+        self.exact_store = exact_store
+        self._gen = uuid.uuid4().hex
+        self._probe_seq = 0
+        self._committed_seq: int | None = None  # set by restore()
+        self._prior_gens: list[str] = []
+        # live plan capture for the rescue join (tests pin the in-crawl
+        # join shape); off by default — toString costs a plan walk
+        self.capture_rescue_plans = False
+        self.rescue_plans: list[str] = []
 
     @property
     def exact(self) -> DataFrame:
         """The exact seen table = union of committed deltas."""
+        if self.exact_store is not None:
+            return self.exact_store.valid(
+                self._committed_seq, self._gen, self._prior_gens
+            ).select("url", "pid")
         if not self._exact_parts:
             return self.spark.createDataFrame([], "url string, pid int")
         out = self._exact_parts[0]
@@ -108,6 +133,14 @@ class BloomSeenSet:
         return out
 
     def _append_exact(self, new_urls: DataFrame) -> None:
+        if self.exact_store is not None:
+            # bucket-preserving O(new) append; the write materializes
+            # the delta (it IS the probe's durable commit)
+            self.exact_store.append(
+                new_urls, seq=self._probe_seq, gen=self._gen
+            )
+            self._probe_seq += 1
+            return
         self._exact_parts.append(new_urls)
         self._pending_snapshot.append(new_urls)
         if len(self._exact_parts) >= self._compact_at:
@@ -217,8 +250,13 @@ class BloomSeenSet:
             "url", "pid", "maybe_seen"
         )
         # FP rescue: only the maybe-seen sliver touches the exact table
+        # (with exact_store: an in-place bucketed scan — one exchange)
         maybe = verdicts.where(F.col("maybe_seen"))
         rescued = maybe.join(self.exact, ["url"], "left_anti").select("url", verdicts.pid)
+        if self.capture_rescue_plans:
+            self.rescue_plans.append(
+                rescued._jdf.queryExecution().executedPlan().toString()
+            )
         new_urls = (
             verdicts.where(~F.col("maybe_seen")).select("url", "pid").unionByName(rescued)
         ).localCheckpoint(eager=eager)
@@ -258,8 +296,20 @@ class BloomSeenSet:
     def snapshot(self, catalog, prefix: str = "seen") -> None:
         """Bitmaps are fixed-size state → overwrite; the exact table is
         append-only → commit only the deltas since the last snapshot
-        (Iceberg-append semantics; O(new) write per wave)."""
-        catalog.table(f"{prefix}_bloom").overwrite(self.state)
+        (Iceberg-append semantics; O(new) write per wave). With the
+        bucketed store, the exact history is already durable (written
+        at probe time) — this snapshot only records the committed
+        (probe_seq, generation-chain) bound the next resume filters
+        with."""
+        counters = None
+        if self.exact_store is not None:
+            counters = {
+                "next_probe_seq": self._probe_seq,
+                "gens": self._prior_gens + [self._gen],
+            }
+        catalog.table(f"{prefix}_bloom").overwrite(self.state, counters=counters)
+        if self.exact_store is not None:
+            return
         t = catalog.table(f"{prefix}_exact")
         if self._pending_snapshot:
             delta = self._pending_snapshot[0]
@@ -271,7 +321,18 @@ class BloomSeenSet:
             t.append(self.exact)  # first commit of an empty set
 
     def restore(self, catalog, prefix: str = "seen") -> None:
-        self.state = catalog.table(f"{prefix}_bloom").read().persist()
+        t = catalog.table(f"{prefix}_bloom")
+        self.state = t.read().persist()
+        if self.exact_store is not None:
+            c = t.counters()
+            self._committed_seq = int(c.get("next_probe_seq", 0)) - 1
+            self._prior_gens = list(c.get("gens", []))
+            self._probe_seq = self._committed_seq + 1
+            # self._gen stays this run's fresh id: rows a crashed run
+            # appended past the committed bound carry an old gen and a
+            # seq above it — excluded by valid() — while this run's
+            # re-appends are valid via gen equality
+            return
         self._exact_parts = [catalog.table(f"{prefix}_exact").read().persist()]
         self._pending_snapshot = []
 
@@ -389,22 +450,48 @@ class BucketedExactStore:
     set per bucket, never rewriting history — the same append-only
     delta discipline as the in-memory parts above (compaction at scale
     is the table format's file-rewrite action, out of scope here).
+
+    Rows carry ``(seq, gen)`` lineage — the probe sequence number and a
+    per-run generation id — so a resumed crawl can exclude ORPHAN
+    appends (rows a crashed run wrote after its last committed wave)
+    without rewriting history: validity is ``gen == current-run`` OR
+    ``(seq <= committed bound AND gen ∈ committed generation chain)``.
+    This is the sandbox stand-in for Iceberg snapshot rollback (which
+    discards uncommitted file sets as pure metadata); the filter rides
+    the same in-place bucketed scan, so the join shape is unchanged.
     """
 
     def __init__(
         self,
         spark: SparkSession,
         path: str,
-        table: str = "seen_exact_bucketed",
+        table: str | None = None,
         buckets: int = 64,
     ):
         self.spark = spark
-        self.table_name = table
+        # unique default name: the Spark session catalog is global, and
+        # resume constructs a fresh store over the SAME files
+        self.table_name = table or f"seen_bucketed_{uuid.uuid4().hex[:12]}"
         self.buckets = buckets
         self._path = path
-        if not spark.catalog.tableExists(table):
-            empty = spark.createDataFrame([], "url string, pid int")
-            self._writer(empty).saveAsTable(table)
+        if not spark.catalog.tableExists(self.table_name):
+            if os.path.isdir(path) and any(
+                f.startswith("part-") for f in os.listdir(path)
+            ):
+                # resume path: re-register the existing bucketed files
+                # as an external table (metadata-only; the bucket spec
+                # must match the writer's or appends fail loudly)
+                spark.sql(
+                    f"CREATE TABLE {self.table_name} "
+                    "(url STRING, pid INT, seq INT, gen STRING) "
+                    "USING PARQUET CLUSTERED BY (url) SORTED BY (url) "
+                    f"INTO {buckets} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                empty = spark.createDataFrame(
+                    [], "url string, pid int, seq int, gen string"
+                )
+                self._writer(empty).saveAsTable(self.table_name)
 
     def _writer(self, df: DataFrame):
         return (
@@ -414,22 +501,58 @@ class BucketedExactStore:
             .option("path", self._path)
         )
 
-    def append(self, delta: DataFrame) -> None:
+    def append(self, delta: DataFrame, seq: int = 0, gen: str = "") -> None:
         """O(new) bucket-preserving append (Spark validates the bucket
         spec against the existing table, so a mismatched writer fails
         loudly instead of silently degrading the join)."""
-        self._writer(delta.select("url", "pid")).saveAsTable(self.table_name)
+        d = (
+            delta.select("url", "pid")
+            .withColumn("seq", F.lit(seq).cast("int"))
+            .withColumn("gen", F.lit(gen))
+        )
+        self._writer(d).saveAsTable(self.table_name)
 
     @property
     def df(self) -> DataFrame:
         return self.spark.table(self.table_name)
 
-    def rescue(self, maybe: DataFrame, url_col: str = "url") -> DataFrame:
-        """maybe-seen sliver → rows NOT in the exact history. The exact
-        side resolves the join's hash-partitioning requirement from its
-        bucketing — scanned in place, no exchange."""
+    def valid(
+        self,
+        upto_seq: int | None = None,
+        gen: str | None = None,
+        prior_gens: list[str] | None = None,
+    ) -> DataFrame:
+        """The committed-valid view: everything (no bounds given), or
+        current-generation rows plus committed prior-generation rows —
+        orphan rows from crashed runs drop out (see class docstring)."""
+        df = self.df
+        if upto_seq is None and gen is None:
+            return df
+        cond = F.lit(False)
+        if gen is not None:
+            cond = cond | (F.col("gen") == gen)
+        if upto_seq is not None:
+            seq_ok = F.col("seq") <= F.lit(upto_seq)
+            if prior_gens:
+                seq_ok = seq_ok & F.col("gen").isin(prior_gens)
+            cond = cond | seq_ok
+        return df.where(cond)
+
+    def rescue(
+        self,
+        maybe: DataFrame,
+        url_col: str = "url",
+        upto_seq: int | None = None,
+        gen: str | None = None,
+        prior_gens: list[str] | None = None,
+    ) -> DataFrame:
+        """maybe-seen sliver → rows NOT in the (valid) exact history.
+        The exact side resolves the join's hash-partitioning requirement
+        from its bucketing — scanned in place, no exchange; the validity
+        filter is a per-row predicate above the same scan."""
+        ex = self.valid(upto_seq, gen, prior_gens)
         return maybe.join(
-            self.df.select(F.col("url").alias(url_col)), url_col, "left_anti"
+            ex.select(F.col("url").alias(url_col)), url_col, "left_anti"
         )
 
     def drop(self) -> None:

@@ -157,6 +157,11 @@ class WaveCrawl:
         self.t = tables
         self.cfg = cfg
         self.catalog = catalog
+        # scratch dir for wave-boundary frontier snapshots and (catalog-
+        # less runs) the bucketed seen store — created before the seen
+        # backend, which may need a path under it
+        self._scratch = tempfile.mkdtemp(prefix="snapcrawler_waves_")
+        atexit.register(shutil.rmtree, self._scratch, True)
         if seen_kind == "bloom":
             self.seen = BloomSeenSet(
                 spark,
@@ -167,6 +172,24 @@ class WaveCrawl:
         elif seen_kind == "cuckoo":
             self.seen = CuckooSeenSet(
                 spark, partitions=cfg.seen_partitions
+            )
+        elif seen_kind == "bucketed":
+            # deployment-shaped seen path: bloom probe + url-bucketed
+            # on-disk exact history, so the per-wave rescue anti-join
+            # scans the history in place (one exchange — the sliver)
+            # instead of shuffling it. Store files live in the catalog
+            # root when resumability is wanted, else under scratch.
+            from snapcrawler_spark.operators.seen import BucketedExactStore
+
+            store_root = catalog.root if catalog is not None else self._scratch
+            self.seen = BloomSeenSet(
+                spark,
+                partitions=cfg.seen_partitions,
+                m_bits=1 << 17,
+                n_hashes=5,
+                exact_store=BucketedExactStore(
+                    spark, os.path.join(store_root, "seen_bucketed")
+                ),
             )
         else:
             self.seen = ExactSeenSet(spark)
@@ -209,22 +232,27 @@ class WaveCrawl:
         # frontier_commit = verdict filter+exact-rescue anti-join+
         # parquet round-trip
         self.phase_secs: dict[str, float] = {}
-        # scratch dir for wave-boundary frontier snapshots (the local
-        # stand-in for the Iceberg snapshot store); only the latest
-        # wave's file is kept. The returned frontier reads from here,
-        # so the dir must outlive run() AND this instance (callers keep
-        # using the returned DataFrame after the WaveCrawl is garbage-
-        # collected — a GC-tied finalizer broke exactly that). Cleanup
-        # therefore happens at explicit close() or interpreter exit,
-        # whichever comes first; tests creating many WaveCrawl
-        # instances no longer leak scratch dirs past process exit.
-        self._scratch = tempfile.mkdtemp(prefix="snapcrawler_waves_")
-        atexit.register(shutil.rmtree, self._scratch, True)
+        # NOTE on self._scratch (created at the top of __init__): it
+        # holds wave-boundary frontier snapshots (the local stand-in
+        # for the Iceberg snapshot store); only the latest wave's file
+        # is kept. The returned frontier reads from here, so the dir
+        # must outlive run() AND this instance (callers keep using the
+        # returned DataFrame after the WaveCrawl is garbage-collected —
+        # a GC-tied finalizer broke exactly that). Cleanup therefore
+        # happens at explicit close() or interpreter exit, whichever
+        # comes first; tests creating many WaveCrawl instances no
+        # longer leak scratch dirs past process exit.
 
     def close(self) -> None:
-        """Remove the scratch dir (frontier snapshots). Call only once
-        the returned frontier DataFrame is no longer needed — it reads
-        from this dir."""
+        """Remove the scratch dir (frontier snapshots) and drop the
+        bucketed seen store's session-catalog entry if one exists (the
+        files persist when they live under a SnapshotCatalog root — a
+        later resume re-registers them). Call only once the returned
+        frontier DataFrame is no longer needed — it reads from this
+        dir."""
+        store = getattr(self.seen, "exact_store", None)
+        if store is not None:
+            store.drop()
         shutil.rmtree(self._scratch, ignore_errors=True)
 
     def restore(self) -> None:

@@ -176,6 +176,105 @@ class TestBucketedExactStore:
             store.drop()
 
 
+class TestBucketedBackend:
+    """BloomSeenSet with the url-bucketed on-disk exact history as its
+    rescue backend (the 10^10 deployment shape — VERDICT r5 top item)."""
+
+    def test_store_backed_bloom_matches_exact_over_batches(
+        self, spark, tmp_path
+    ):
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        store = BucketedExactStore(spark, str(tmp_path / "sb"), buckets=8)
+        bloom = BloomSeenSet(
+            spark, partitions=8, m_bits=1 << 14, n_hashes=5,
+            exact_store=store,
+        )
+        exact = ExactSeenSet(spark)
+        try:
+            batches = [
+                _urls(spark, 0, 300),
+                _urls(spark, 200, 500),
+                _urls(spark, 0, 100),
+                _urls(spark, 450, 700),
+            ]
+            for b in batches:
+                got_b = {
+                    r.url: r.was_new
+                    for r in bloom.probe_and_insert(b).collect()
+                }
+                got_e = {
+                    r.url: r.was_new
+                    for r in exact.probe_and_insert(b).collect()
+                }
+                assert got_b == got_e
+            assert bloom.exact.count() == exact.df.count() == 700
+        finally:
+            store.drop()
+
+    def test_valid_excludes_orphan_generations(self, spark, tmp_path):
+        """(seq, gen) lineage: rows appended past the committed bound by
+        a dead generation are invisible; committed prior-gen rows and
+        all current-gen rows are visible — the sandbox equivalent of an
+        Iceberg snapshot rollback."""
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        store = BucketedExactStore(spark, str(tmp_path / "sv"), buckets=4)
+        try:
+            p = lambda df: df.withColumn("pid", F.lit(0))  # noqa: E731
+            store.append(p(_urls(spark, 0, 100)), seq=0, gen="A")
+            store.append(p(_urls(spark, 100, 200)), seq=1, gen="A")  # orphan
+            store.append(p(_urls(spark, 200, 300)), seq=1, gen="B")  # current
+            got = {
+                r.url for r in store.valid(0, "B", ["A"]).select("url").collect()
+            }
+            ids = {int(u.rsplit("/", 1)[1]) for u in got}
+            assert ids == set(range(0, 100)) | set(range(200, 300))
+        finally:
+            store.drop()
+
+    def test_snapshot_restore_excludes_crash_orphans(self, spark, tmp_path):
+        """End-to-end resume semantics with a SATURATED bloom (tiny
+        m_bits → every probe is maybe-seen → every verdict goes through
+        the rescue join): a crashed run's post-commit appends must not
+        suppress the resumed run's rediscovery of those URLs."""
+        from snapcrawler_spark.catalog import SnapshotCatalog
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+        path = str(tmp_path / "st")
+        s1 = BucketedExactStore(spark, path, buckets=4)
+        b1 = BloomSeenSet(
+            spark, partitions=4, m_bits=1 << 8, n_hashes=5, exact_store=s1
+        )
+        try:
+            b1.probe_and_insert(_urls(spark, 0, 200))
+            b1.snapshot(cat, "seen")
+            # the dead run probes once more after its last commit
+            s1.append(
+                _urls(spark, 250, 260).withColumn("pid", F.lit(0)),
+                seq=b1._probe_seq,
+                gen=b1._gen,
+            )
+        finally:
+            s1.drop()
+        s2 = BucketedExactStore(spark, path, buckets=4)
+        b2 = BloomSeenSet(
+            spark, partitions=4, m_bits=1 << 8, n_hashes=5, exact_store=s2
+        )
+        try:
+            b2.restore(cat, "seen")
+            out = b2.probe_and_insert(_urls(spark, 100, 300))
+            news = {
+                int(r.url.rsplit("/", 1)[1])
+                for r in out.where("was_new").collect()
+            }
+            # 200..299 all new — INCLUDING the orphan-appended 250..259
+            assert news == set(range(200, 300))
+        finally:
+            s2.drop()
+
+
 class TestPoliteness:
     def _frontier(self, spark, per_host, hosts=4):
         rows = [

@@ -204,6 +204,93 @@ class TestResume:
         assert sorted(res_items + pre) == full_items
 
 
+class TestBucketedSeenBackend:
+    """seen_kind='bucketed': the wave loop running with the url-bucketed
+    on-disk exact history (VERDICT r5 top item — the 10^10 seen shape
+    must run end-to-end inside a live crawl, not as a standalone
+    operator)."""
+
+    def test_crawl_matches_oracle_and_rescue_plan_pinned(
+        self, spark, web_xs
+    ):
+        """Oracle equivalence (same final URL-seen set + accepted
+        multiset as the exact backend) AND a live plan pin: with
+        AQE/broadcast disabled (the shape the join takes when the
+        history dwarfs executor memory), every in-crawl rescue join
+        carries exactly ONE Exchange (the maybe-seen sliver) while the
+        exact side is an in-place bucketed scan."""
+        cfg = _cfg(web_xs)
+        confs = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        wc = WaveCrawl(
+            spark, fixture_to_spark(spark, web_xs), cfg, seen_kind="bucketed"
+        )
+        wc.seen.capture_rescue_plans = True
+        try:
+            run = wc.run()
+            oracle = crawl_oracle(web_xs, cfg)
+            seen = {r.url for r in wc.seen.exact.select("url").collect()}
+            assert seen == oracle.seen_set
+            got = sorted(
+                (r.image_url, r.image_id) for r in run["accepted"].collect()
+            )
+            want = sorted((u, i) for _, u, i, _ in oracle.accepted)
+            assert got == want
+            plans = wc.seen.rescue_plans
+            assert len(plans) >= 2  # seeds probe + at least one wave
+            for p in plans:
+                assert p.count("Exchange") == 1, p
+                assert "Bucketed: true" in p, p
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+            wc.close()
+
+    def test_kill_and_resume_bucketed(self, spark, web_xs, tmp_path):
+        """The resume contract holds on the bucketed backend: store
+        files persist under the catalog root, a fresh instance
+        re-registers them, and the resumed run reproduces the
+        uninterrupted result."""
+        cfg = _cfg(web_xs)
+        tables = fixture_to_spark(spark, web_xs)
+
+        full = WaveCrawl(spark, tables, cfg, seen_kind="bloom").run()
+        full_items = sorted(
+            (r.image_url, r.source_page) for r in full["items"].collect()
+        )
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "ck"))
+        killed = WaveCrawl(
+            spark, tables, cfg, catalog=cat, seen_kind="bucketed"
+        )
+        killed.run(max_waves=2)
+        assert cat.committed_wave() == 1
+        killed.close()  # drops the session-catalog entry, keeps files
+
+        resumed = WaveCrawl(
+            spark, tables, cfg, catalog=cat, seen_kind="bucketed"
+        )
+        try:
+            resumed.restore()
+            out = resumed.run()
+            res_items = sorted(
+                (r.image_url, r.source_page) for r in out["items"].collect()
+            )
+            committed = cat.table("items").read(version=1)
+            pre = sorted(
+                (r.image_url, r.source_page)
+                for r in committed.select("image_url", "source_page").collect()
+            )
+            assert sorted(res_items + pre) == full_items
+        finally:
+            resumed.close()
+
+
 def test_wave_robots_blocked_metric_matches_oracle(spark, web_s):
     """The per-wave robots_blocked counter (an Observation riding the
     md5-probe job since round 4 — no dedicated count action) must total
