@@ -256,6 +256,38 @@ def generate_images(seed: int = 42, n: int = 200) -> tuple[pd.DataFrame, pd.Data
                 made += 1
                 break
 
+    # ---- round-6: REAL decodable GIF rows (kernels/gif.py). The gif
+    # STUB rows above (GIF89a magic + random bytes) stay as decode_error
+    # coverage; these ids (img_gif*) are appended after every earlier
+    # draw with an independent RNG stream and are excluded from web.py's
+    # random-pick pool, so all pre-existing fixture draws remain
+    # byte-identical. Variants cover the decoder surface: 87a plain,
+    # 89a + Graphic Control Extension, interlaced, and a max-palette
+    # noise image that forces LZW code-width growth. GIF pixels are
+    # lossless → the stored pixel/phash ground truth is exact; mode is
+    # 'P' (what PIL reports for GIFs) and dpi is None (GIF carries no
+    # density; missing DPI passes the filter).
+    from snapcrawler_spark.kernels.gif import encode_gif
+
+    g_rng = np.random.Generator(np.random.PCG64(seed * 555_557))
+    gif_specs = [
+        ("img_gif0", 128, 96, "checker", False, b"GIF87a"),
+        ("img_gif1", 120, 80, "blocks", True, b"GIF89a"),
+        ("img_gif2", 150, 100, "noise", False, b"GIF89a"),
+        ("img_gif3", 96, 96, "hgrad", True, b"GIF87a"),
+    ]
+    for gid, gw, gh, kind, interlace, ver in gif_specs:
+        px = _make_pixels(g_rng, gw, gh, kind, gray=False)
+        if kind == "noise":
+            # quantize into a full 256-entry palette (4 levels/channel)
+            px = (px // 64) * 64
+        body = encode_gif(px, interlace=interlace, version=ver)
+        hh, ww = px.shape[:2]
+        img_rows.append(
+            (gid, body, ww, hh, "gif", f"animated-free {gid}", _ref_phash(px))
+        )
+        px_rows.append((gid, px.tobytes(), ww, hh, 3, "P", None))
+
     images = pd.DataFrame(
         img_rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
     )

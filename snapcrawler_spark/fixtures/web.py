@@ -115,11 +115,14 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
     # integers(0, len(image_ids)) draw byte-identical
     image_ids = [
         i for i in images_df["image_id"].tolist()
-        if not i.startswith("img_nd")
+        if not i.startswith(("img_nd", "img_gif"))
     ]
     image_fmt = dict(zip(images_df["image_id"], images_df["fmt"]))
     nd_ids = sorted(
         i for i in images_df["image_id"] if i.startswith("img_nd")
+    )
+    gif_ids = sorted(
+        i for i in images_df["image_id"] if i.startswith("img_gif")
     )
 
     page_rows, link_rows, item_rows = [], [], []
@@ -446,6 +449,25 @@ def generate_web(seed: int = 42, scale: str = "s", images_df: pd.DataFrame | Non
                     item_rows.append((url, item_idx, "img_src", u))
                     item_idx += 1
                     html_parts.append(f'<img src="{u}"/>')
+            # /x7/ (round-6): REAL decodable GIFs (images.py img_gif*
+            # block) as plain <img src> items — decode-parity coverage
+            # for the from-scratch GIF/LZW codec. Independent per-URL
+            # stream, so every pre-existing draw stays byte-identical.
+            grng = np.random.Generator(
+                np.random.PCG64(seed * 950_021 + _stable_hash(url))
+            )
+            # 0.12 (not the /x5/ 0.08): at xs the reachable-from-seeds
+            # page set is small and the duplicate-content twin pass
+            # drops some carriers' items — 0.12 keeps ≥1 live gif item
+            # on a FETCHED xs page (non-vacuous at every scale)
+            if gif_ids and grng.random() < 0.12:
+                gid = gif_ids[int(grng.integers(0, len(gif_ids)))]
+                u = f"https://{host}/x7/{gid}_{j}.gif"
+                if u not in fetch_map:
+                    fetch_map[u] = (gid, 200, "image/gif")
+                item_rows.append((url, item_idx, "img_src", u))
+                item_idx += 1
+                html_parts.append(f'<img src="{u}"/>')
             # /x6/: MULTI-LINE <script> blocks — the common real-world
             # shape the (?s)-less body regexes silently skipped
             # (ADVICE r4). One of three variants: bare-string ajax

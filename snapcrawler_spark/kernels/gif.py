@@ -206,7 +206,19 @@ def encode_gif(
 def decode_gif(data: bytes) -> tuple[np.ndarray, str, None]:
     """Decode the FIRST image of a GIF87a/89a → ((h, w, 3) uint8 RGB,
     'P', None). Extension blocks are skipped; animation frames past the
-    first are ignored (the reference's PIL open reads frame 0 too)."""
+    first are ignored (the reference's PIL open reads frame 0 too).
+    Raises ValueError on any malformed/truncated payload."""
+    try:
+        return _decode_gif(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, OverflowError) as e:
+        # truncated block chains / headers land here — the caller
+        # contract (kernels/codecs.decode_image) is ValueError
+        raise ValueError(f"malformed GIF: {type(e).__name__}") from e
+
+
+def _decode_gif(data: bytes) -> tuple[np.ndarray, str, None]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)

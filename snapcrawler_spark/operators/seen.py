@@ -162,6 +162,7 @@ class BloomSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,
     ) -> DataFrame:
         """Probe-and-insert returning ONLY the new URLs (url, pid) —
         no join back onto the candidate rows. ``assume_unique=True``
@@ -173,16 +174,20 @@ class BloomSeenSet:
         cogroup), so its AQE intermediate stages still run at creation,
         but the final result stage defers to the caller's next action
         (the wave loop's frontier commit consumes the delta) — one
-        fewer driver-blocking job per probe. The cogroup checkpoint
-        stays eager either way: it is the probe's state-update pass,
-        every downstream plan (verdicts, next-wave bitmaps, the delta
-        itself) reads its blocks, and — critically — its real execution
-        resolves the caller's riding candidate observations BEFORE the
-        lazy delta's creation event can latch them at zero
-        (lazy-checkpoint creation fires a success event whose
-        CollectMetrics rows are zero for any node in the unexecuted
-        final stage; tests/test_observation_safety.py pins the
-        hazard)."""
+        fewer driver-blocking job per probe.
+
+        ``state_eager=False`` (round 6) additionally defers the cogroup
+        checkpoint's RESULT stage the same way: the pandas probe itself
+        is the final stage of the merged plan (the exchanges below it —
+        the candidate window and both pid shuffles — still execute at
+        creation, which is what resolves the caller's riding candidate
+        observations; tests/test_observation_safety.py pins the
+        semantics), so the per-wave bloom job folds into the caller's
+        next action too. CALLER CONTRACT: an action must run before the
+        next probe reads ``self.state`` (the wave loop's frontier
+        commit always does), and any Observation riding the candidates
+        must sit BELOW the cogroup's exchanges — true for the wave
+        loop's obs_cands (attached under the candidate window)."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = self._keyed(base if assume_unique else base.distinct())
         m_bits, k = self.m_bits, self.n_hashes
@@ -236,12 +241,14 @@ class BloomSeenSet:
             .cogroup(self.state.groupBy("pid"))
             .applyInPandas(fn, _OUT_SCHEMA)
         )
-        # eager localCheckpoint: materializes the cogroup ONCE and
-        # truncates lineage — every downstream consumer (verdicts, new
-        # state, exact union) reads the checkpointed blocks. A lazy
+        # localCheckpoint: materializes the cogroup ONCE and truncates
+        # lineage — every downstream consumer (verdicts, new state,
+        # exact union) reads the checkpointed blocks. A lazy
         # persist+unpersist dance here caused cross-wave recompute
-        # cascades of the pandas UDF.
-        merged = merged.localCheckpoint()
+        # cascades of the pandas UDF; a lazy CHECKPOINT is different —
+        # it computes once at the first action and serves blocks
+        # thereafter (see state_eager in the docstring).
+        merged = merged.localCheckpoint(eager=state_eager)
 
         new_state = merged.where(F.col("kind") == "state").select(
             "pid", "bitmap", "n_keys"
@@ -270,12 +277,15 @@ class BloomSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,
     ) -> DataFrame:
         """Returns candidates with a ``was_new`` column; inserts all new
         URLs into the set. Candidates are deduped on url first (the
         first occurrence in a batch wins, like dict insertion) unless
         ``assume_unique``."""
-        new_urls = self.probe_new(candidates, url_col, assume_unique, eager)
+        new_urls = self.probe_new(
+            candidates, url_col, assume_unique, eager, state_eager
+        )
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )
@@ -362,6 +372,7 @@ class ExactSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,  # no state pass here; accepted for a uniform surface
     ) -> DataFrame:
         """``eager=False`` skips the delta's dedicated result job (the
         wave loop folds the page-md5 probe into the items checkpoint
@@ -397,6 +408,7 @@ class ExactSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,
     ) -> DataFrame:
         new = self.probe_new(candidates, url_col, assume_unique, eager)
         flags = new.select(
@@ -646,7 +658,10 @@ class CuckooSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,
     ) -> DataFrame:
+        """See BloomSeenSet.probe_new for the eager/state_eager
+        contract — identical here."""
         base = candidates.select(F.col(url_col).alias("url"))
         cand = self._keyed(base if assume_unique else base.distinct())
         n_buckets, stash_cap, max_kicks = (
@@ -748,7 +763,7 @@ class CuckooSeenSet:
             cand.groupBy("pid")
             .cogroup(self.state.groupBy("pid"))
             .applyInPandas(fn, _OUT_SCHEMA)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=state_eager)
         new_state = merged.where(F.col("kind") == "state").select(
             "pid", "bitmap", "n_keys"
         )
@@ -777,8 +792,11 @@ class CuckooSeenSet:
         url_col: str = "url",
         assume_unique: bool = False,
         eager: bool = True,
+        state_eager: bool = True,
     ) -> DataFrame:
-        new_urls = self.probe_new(candidates, url_col, assume_unique, eager)
+        new_urls = self.probe_new(
+            candidates, url_col, assume_unique, eager, state_eager
+        )
         flags = new_urls.select(
             F.col("url").alias("__seen_url"), F.lit(True).alias("was_new")
         )

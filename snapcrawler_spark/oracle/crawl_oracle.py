@@ -325,8 +325,11 @@ def crawl_oracle(web: dict, cfg: CrawlConfig) -> OracleResult:
             res.rejections.append((item_seq_, iurl, "svg_unsupported"))
             continue
         m = meta.get(image_id)
-        if m is None or m["fmt"] in ("unknown", "gif", "svg"):
-            # undecodable in-sandbox (spec deviation 2)
+        # undecodable payloads: unknown magic, svg (environment parity —
+        # the reference also rejects svg when cairosvg/wand are absent),
+        # and the truncated gif STUBS (pixel ground truth mode 'NONE').
+        # Real GIFs decode since round 6 (kernels/gif.py) and flow on.
+        if m is None or m["fmt"] in ("unknown", "svg") or m["mode"] == "NONE":
             res.rejections.append((item_seq_, iurl, "decode_error"))
             continue
         w, h = m["w"], m["h"]

@@ -60,11 +60,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_any(data: bytes) -> np.ndarray:
-    """Decode to pixels. BMP/PNG/JPEG are real from-scratch codecs
-    (kernels/codecs.py, kernels/jpeg.py); remaining formats raise
-    NotImplementedError (STUB: plug a codec lib here)."""
+    """Decode to pixels. BMP/PNG/JPEG/GIF are real from-scratch codecs
+    (kernels/codecs.py, kernels/jpeg.py, kernels/gif.py); remaining
+    formats raise NotImplementedError (STUB: plug a codec lib here)."""
     fmt = sniff_format(data)
-    if fmt in ("bmp", "png", "jpeg"):
+    if fmt in ("bmp", "png", "jpeg", "gif"):
         px, _, _ = decode_image(data)
         return px
     raise NotImplementedError(f"no in-sandbox codec for {fmt}")

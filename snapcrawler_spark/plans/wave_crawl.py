@@ -702,11 +702,21 @@ class WaveCrawl:
             # obs_cands — the CollectMetrics sits above the candidate
             # window, i.e. in the delta's final (unexecuted) stage
             # (tests/test_observation_safety.py pins the hazard class).
+            # round 6: the cogroup STATE checkpoint is lazy too
+            # (state_eager=False) — the pandas probe is the merged
+            # plan's final stage, so it rides the frontier commit with
+            # the delta instead of paying a dedicated per-wave job; the
+            # exchanges below it (candidate window + both pid shuffles)
+            # still run at creation, resolving obs_cands (attached
+            # UNDER the candidate window — below the cogroup's last
+            # exchange, the r5-pinned safe position).
             t_ph = _time.time()
+            is_exact = isinstance(self.seen, ExactSeenSet)
             probed = self.seen.probe_and_insert(
                 cands,
                 assume_unique=True,
-                eager=isinstance(self.seen, ExactSeenSet),
+                eager=is_exact,
+                state_eager=is_exact,
             )
             self.phase_secs["seen_probe"] = (
                 self.phase_secs.get("seen_probe", 0.0) + _time.time() - t_ph

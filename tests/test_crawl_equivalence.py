@@ -90,6 +90,10 @@ CONFIG_MATRIX = [
     # opt-in near-dup image gate (engine extension; exact-only is the
     # reference default, filtering_module.py:335-342)
     dict(extra={"near_dup_images": True}),
+    # gif in the format whitelist: the /x7/ fixture GIFs decode through
+    # the from-scratch LZW codec (round 6) and must be ACCEPTED here —
+    # under the default whitelist the same rows reject with 'format'
+    dict(formats=("jpg", "jpeg", "png", "webp", "bmp", "gif")),
 ]
 
 
@@ -147,6 +151,28 @@ def test_bare_string_ajax_sweep_is_exercised(web_xs):
     # other channel row (so only the sweep can harvest it)
     others = set(items[items.channel != "ajax_list"].url)
     assert any(u not in others for u in sweep.url)
+
+
+def test_gif_coverage_nonvacuous(web_xs):
+    """The gif matrix case must stay non-vacuous: with 'gif' in the
+    whitelist the oracle ACCEPTS at least one /x7/ fixture GIF at xs
+    (real decode through kernels/gif.py); under the default whitelist
+    the same rows reject with 'format' — not 'decode_error' (they are
+    decodable now), and the truncated gif STUBS keep rejecting as
+    'decode_error'."""
+    cfg_gif = _cfg(
+        web_xs,
+        deduplication=False,
+        formats=("jpg", "jpeg", "png", "webp", "bmp", "gif"),
+    )
+    o = crawl_oracle(web_xs, cfg_gif)
+    acc = [a for a in o.accepted if "/x7/" in a[1]]
+    assert acc, "no /x7/ GIF accepted — gif matrix case is vacuous"
+    cfg_def = _cfg(web_xs, deduplication=False)
+    o2 = crawl_oracle(web_xs, cfg_def)
+    x7_reasons = {r[2] for r in o2.rejections if "/x7/" in r[1]}
+    assert x7_reasons == {"format"}
+    assert any(r[2] == "decode_error" for r in o2.rejections)
 
 
 def test_near_dup_twins_pinned(web_xs):

@@ -83,6 +83,78 @@ class TestCodecs:
             decode_image(b"\x00junkjunkjunk")
 
 
+class TestGif:
+    """From-scratch GIF87a/89a + LZW codec (kernels/gif.py, round 6):
+    ground-truth pixel equality like BMP/PNG, plus the LZW edge cases
+    (variable code width growth, table-full clear/reset, interlace)."""
+
+    @pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (17, 33), (64, 64), (5, 128)])
+    def test_gif_roundtrip(self, h, w):
+        from snapcrawler_spark.kernels.gif import decode_gif, encode_gif
+
+        rng = np.random.Generator(np.random.PCG64(h * 7919 + w))
+        pal = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 12, (h, w))]
+        out, mode, dpi = decode_gif(encode_gif(px))
+        assert mode == "P" and dpi is None
+        assert np.array_equal(out, px)
+
+    @pytest.mark.parametrize("version", [b"GIF87a", b"GIF89a"])
+    def test_gif_interlaced_and_versions(self, version):
+        from snapcrawler_spark.kernels.gif import decode_gif, encode_gif
+
+        px = _rand_px(99, 37, 23) // 64 * 64  # ≤4³=64-color palette
+        out, _, _ = decode_gif(encode_gif(px, interlace=True, version=version))
+        assert np.array_equal(out, px)
+
+    def test_gif_lzw_width_growth_and_table_full(self):
+        """A large high-entropy image walks the code width 9→12 bits
+        and forces mid-stream CLEAR resets (table full at 4096)."""
+        from snapcrawler_spark.kernels.gif import (
+            _lzw_decode,
+            _lzw_encode,
+            decode_gif,
+            encode_gif,
+        )
+
+        gray = _rand_px(5, 300, 300, gray=True)
+        px = np.stack([gray] * 3, -1)  # 256-entry palette
+        out, _, _ = decode_gif(encode_gif(px))
+        assert np.array_equal(out, px)
+        # raw LZW at the minimum alphabet (mcs=2): maximal width churn
+        rng = np.random.Generator(np.random.PCG64(13))
+        idx = bytes(rng.integers(0, 4, 60_000, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(idx, 2), 2) == idx
+
+    def test_gif_truncated_raises(self):
+        from snapcrawler_spark.kernels.gif import decode_gif, encode_gif
+
+        body = encode_gif(_rand_px(3, 20, 20) // 64 * 64)
+        with pytest.raises(ValueError):
+            decode_gif(body[: len(body) // 2] + b"\x00\x3b")
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a" + bytes(32))  # no image block
+
+    def test_gif_dispatch_and_fixture_ground_truth(self):
+        """decode_image routes GIFs, and every fixture img_gif* row
+        decodes bit-exactly to its images_pixels ground truth with the
+        fixture phash (lossless format → exact, like BMP/PNG)."""
+        from snapcrawler_spark.fixtures import load_fixture
+
+        web = load_fixture(42, "xs")
+        imgs = web["images"]
+        gifs = imgs[imgs.image_id.str.startswith("img_gif")]
+        assert len(gifs) == 4
+        pix = {r.image_id: r for r in web["images_pixels"].itertuples()}
+        for r in gifs.itertuples():
+            px, mode, dpi = decode_image(bytes(r.bytes))
+            assert mode == "P" and dpi is None
+            gt = pix[r.image_id]
+            want = np.frombuffer(gt.px, np.uint8).reshape(gt.h, gt.w, 3)
+            assert np.array_equal(px, want)
+            assert phash64(px) == r.phash
+
+
 class TestPhash:
     def test_bit_exact_vs_independent_impl(self):
         for s in range(25):

@@ -176,6 +176,36 @@ class TestBucketedExactStore:
             store.drop()
 
 
+class TestLazyStateFold:
+    def test_lazy_state_matches_eager_over_batches(self, spark):
+        """state_eager=False (round 6): the cogroup state checkpoint's
+        result stage defers to the caller's next action — the wave
+        loop's frontier commit. Replaying that contract (one action per
+        probe round), verdicts, exact table and bitmaps must be
+        byte-identical to the fully-eager path."""
+        lazy = BloomSeenSet(spark, partitions=8, m_bits=1 << 14, n_hashes=5)
+        eager = BloomSeenSet(spark, partitions=8, m_bits=1 << 14, n_hashes=5)
+        batches = [
+            _urls(spark, 0, 300),
+            _urls(spark, 200, 500),
+            _urls(spark, 0, 600),
+        ]
+        for b in batches:
+            out_l = lazy.probe_and_insert(
+                b, eager=False, state_eager=False
+            )
+            # the caller-contract action (frontier commit stand-in)
+            got_l = {r.url: r.was_new for r in out_l.collect()}
+            got_e = {
+                r.url: r.was_new for r in eager.probe_and_insert(b).collect()
+            }
+            assert got_l == got_e
+        assert lazy.exact.count() == eager.exact.count() == 600
+        sl = {r.pid: bytes(r.bitmap) for r in lazy.state.collect()}
+        se = {r.pid: bytes(r.bitmap) for r in eager.state.collect()}
+        assert sl == se
+
+
 class TestBucketedBackend:
     """BloomSeenSet with the url-bucketed on-disk exact history as its
     rescue backend (the 10^10 deployment shape — VERDICT r5 top item)."""
