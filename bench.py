@@ -447,9 +447,18 @@ def main() -> None:
 
     spark = _get_spark(cores)
     web_root = _ensure_web_fixture(BENCH_WEB_SCALE)
-    crawl_warm = warm_jvm(spark, web_root)
+    # round 6 protocol (VERDICT r5 #8): report warmed AND unwarmed on
+    # the SAME full-size crawl so rounds stay comparable — the first
+    # run is the unwarmed number and doubles as the JVM warm-up (r5
+    # isolated a 25-35% first-crawl JIT tax); the second, warmed run is
+    # the official headline.
+    crawl_unwarmed = crawl_throughput(spark, web_root)
     crawl = crawl_throughput(spark, web_root)
-    crawl["warmup_secs"] = crawl_warm
+    crawl["unwarmed"] = {
+        k: crawl_unwarmed[k]
+        for k in ("crawl_secs", "urls_per_sec", "urls_per_sec_legacy")
+    }
+    crawl["unwarmed"]["phases"] = crawl_unwarmed["phases"]
     queries = run_queries(spark, sf_dir)
     print(
         json.dumps(

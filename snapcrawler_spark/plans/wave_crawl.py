@@ -665,17 +665,29 @@ class WaveCrawl:
                 (-F.col("ci")).alias("link_idx"),  # cascade reversal analog
             )
             cands = casc_cand.unionByName(link_cand)
-            # within-wave dedup: first enqueuer wins
-            w_cand = Window.partitionBy("url").orderBy(
-                "priority", "parent_seq", "link_idx"
-            )
+            # within-wave dedup: first enqueuer wins — min_by over the
+            # (priority, parent_seq, link_idx) order key as a hash
+            # AGGREGATE, not a rank window (round 6): the groupBy gets
+            # a map-side partial combine, so duplicate candidate URLs
+            # (the dominant case in a dense web: many pages link the
+            # same target) collapse BEFORE the shuffle and nothing gets
+            # sorted — strictly less exchange traffic than the
+            # row_number window at any scale, same winner (struct
+            # comparison is lexicographic; key ties are impossible —
+            # parent_seq disambiguates enqueuers, link_idx positions
+            # within one parent, and intra-page dedup ran upstream)
+            order_key = F.struct("priority", "parent_seq", "link_idx")
+            payload = F.struct("depth", "priority", "parent_seq", "link_idx")
             # persisted: the seen cogroup job and the frontier-commit
             # job (probe_and_insert joins verdict flags back onto this
             # plan) both consume it — cache instead of re-running the
-            # dedup window twice
-            cands = cands.withColumn(
-                "cand_rank", F.row_number().over(w_cand)
-            ).where(F.col("cand_rank") == 1).drop("cand_rank").persist()
+            # dedup agg twice
+            cands = (
+                cands.groupBy("url")
+                .agg(F.min_by(payload, order_key).alias("__b"))
+                .select("url", "__b.*")
+                .persist()
+            )
             self._wave_persists.append(cands)
             want_counts = self.collect_metrics or self.catalog is not None
             obs_cands = None
