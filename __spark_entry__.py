@@ -434,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition predicates (seeded variants — see
         # pipeline/text.repetition)
         "text_repetition": _text.repetition,
+        # BPE-ish regex tokenizer next to the whitespace one (seeded
+        # digit/punct suffixes make the ratio non-vacuous)
+        "text_token_bpe": _text.token_count_bpe,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
@@ -833,6 +836,28 @@ def oracle_sql() -> dict[str, str]:
                          * 10000.0 / len(words)) as bigint)
                 AS symbol_word_ratio_e4
             FROM grams ORDER BY doc_id
+        """,
+        # BPE-ish regex tokenization next to the whitespace tokenizer
+        # (pipeline/text.token_count_bpe; identical char-class regex
+        # semantics in Java regex and RE2)
+        "text_token_bpe": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN text || ' v' || CAST(doc_id AS VARCHAR)
+                          || '.2-rc(' || CAST(doc_id % 97 AS VARCHAR) || ')'
+                     ELSE text END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              cast(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   as int) AS n_bpe_tokens,
+              cast(len(string_split(t, ' ')) as int) AS n_ws_tokens,
+              cast(floor(
+                len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                * 10000.0 / len(string_split(t, ' '))) as bigint)
+                AS bpe_per_word_e4
+            FROM seeded ORDER BY doc_id
         """,
         # benchmark decontamination: 13-gram intersect join between the
         # corpus and the seeded eval excerpts (doc_id%17==3, tokens

@@ -215,4 +215,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str, int | None]:
         from snapcrawler_spark.kernels.gif import decode_gif
 
         return decode_gif(data)
+    if data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from snapcrawler_spark.kernels.tiff import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError("undecodable image payload")

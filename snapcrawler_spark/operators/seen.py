@@ -567,6 +567,23 @@ class BucketedExactStore:
             ex.select(F.col("url").alias(url_col)), url_col, "left_anti"
         )
 
+    def compact(self) -> None:
+        """Fold the accumulated per-wave file sets into one bucketed
+        file set — the sandbox analog of Iceberg's rewrite_data_files
+        maintenance action (every wave's append adds one small file
+        per bucket; after W waves a bucket scan opens W files). The
+        logical contents — including (seq, gen) lineage — are
+        unchanged. NOT crash-atomic here (a real table format commits
+        the rewrite as a snapshot); run it as offline maintenance
+        between crawls, the way the Iceberg action would be
+        scheduled."""
+        import shutil
+
+        data = self.df.localCheckpoint()  # lift rows off the old files
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
+        shutil.rmtree(self._path, ignore_errors=True)
+        self._writer(data).saveAsTable(self.table_name)
+
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
 

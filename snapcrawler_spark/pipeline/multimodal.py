@@ -64,7 +64,7 @@ def _decode_any(data: bytes) -> np.ndarray:
     (kernels/codecs.py, kernels/jpeg.py, kernels/gif.py); remaining
     formats raise NotImplementedError (STUB: plug a codec lib here)."""
     fmt = sniff_format(data)
-    if fmt in ("bmp", "png", "jpeg", "gif"):
+    if fmt in ("bmp", "png", "jpeg", "gif", "tiff"):
         px, _, _ = decode_image(data)
         return px
     raise NotImplementedError(f"no in-sandbox codec for {fmt}")

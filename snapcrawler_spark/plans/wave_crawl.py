@@ -227,10 +227,14 @@ class WaveCrawl:
         # items_ckpt = politeness+fetch+md5 window+lazy md5-probe delta
         # +extraction+items (the wave's FIRST action since the round-5
         # md5 fold — the former md5_probe phase rides here); seen_probe
-        # = cand window+bloom cogroup (state update only — the new-URLs
-        # delta checkpoint is lazy since the round-5 seen fold);
-        # frontier_commit = verdict filter+exact-rescue anti-join+
-        # parquet round-trip
+        # = the candidate min_by dedup + the cogroup plan's
+        # creation-time intermediate stages (round 6: the cogroup STATE
+        # checkpoint is lazy too, so the pandas probe itself and the
+        # new-URLs delta defer to the commit — what remains here is the
+        # candidate-pipeline work AQE executes at lazy-checkpoint
+        # creation); frontier_commit = deferred cogroup+delta result
+        # stages+verdict filter+exact-rescue anti-join+parquet
+        # round-trip
         self.phase_secs: dict[str, float] = {}
         # NOTE on self._scratch (created at the top of __init__): it
         # holds wave-boundary frontier snapshots (the local stand-in

@@ -155,6 +155,42 @@ class TestGif:
             assert phash64(px) == r.phash
 
 
+class TestTiff:
+    """From-scratch uncompressed-TIFF codec (kernels/tiff.py, round 6):
+    both byte orders, gray/RGB, multi-strip reassembly, DPI rationals."""
+
+    @pytest.mark.parametrize("big_endian", [False, True])
+    @pytest.mark.parametrize("rps", [None, 1, 7])
+    def test_tiff_roundtrip(self, big_endian, rps):
+        from snapcrawler_spark.kernels.tiff import decode_tiff, encode_tiff
+
+        for gray in (False, True):
+            px = _rand_px(31 + rps.__hash__() % 97 if rps else 31, 23, 37, gray=gray)
+            out, mode, dpi = decode_tiff(
+                encode_tiff(px, rows_per_strip=rps, big_endian=big_endian)
+            )
+            assert np.array_equal(out, px)
+            assert mode == ("L" if gray else "RGB") and dpi is None
+
+    def test_tiff_dpi_and_dispatch(self):
+        from snapcrawler_spark.kernels.tiff import encode_tiff
+
+        px = _rand_px(5, 10, 12)
+        out, mode, dpi = decode_image(encode_tiff(px, dpi=300))
+        assert np.array_equal(out, px) and mode == "RGB" and dpi == 300
+
+    def test_tiff_malformed_raises(self):
+        from snapcrawler_spark.kernels.tiff import decode_tiff, encode_tiff
+
+        px = _rand_px(6, 8, 8)
+        with pytest.raises(ValueError):
+            decode_tiff(encode_tiff(px)[:40])  # truncated IFD
+        with pytest.raises(ValueError):
+            decode_tiff(b"II\x2a\x00" + bytes(10))
+        with pytest.raises(ValueError):
+            decode_tiff(b"garbage!")
+
+
 class TestPhash:
     def test_bit_exact_vs_independent_impl(self):
         for s in range(25):

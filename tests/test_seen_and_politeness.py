@@ -263,6 +263,46 @@ class TestBucketedBackend:
         finally:
             store.drop()
 
+    def test_compact_preserves_contents_and_shape(self, spark, tmp_path):
+        """compact() (the Iceberg rewrite_data_files analog) collapses
+        the per-append file sets into one, preserving every row — incl.
+        (seq, gen) lineage — and the in-place bucketed rescue shape."""
+        import os
+
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        path = str(tmp_path / "sc")
+        store = BucketedExactStore(spark, path, buckets=4)
+        try:
+            p = lambda df: df.withColumn("pid", F.lit(0))  # noqa: E731
+            for i in range(6):
+                store.append(
+                    p(_urls(spark, i * 50, (i + 1) * 50)), seq=i, gen="A"
+                )
+            def rows():
+                return sorted(
+                    (r.url, r.seq, r.gen) for r in store.df.collect()
+                )
+            def nfiles():
+                return len(
+                    [f for f in os.listdir(path) if f.startswith("part-")]
+                )
+            before_rows, before_files = rows(), nfiles()
+            store.compact()
+            assert rows() == before_rows
+            assert nfiles() < before_files
+            got = {
+                r.url
+                for r in store.rescue(
+                    _urls(spark, 250, 350), upto_seq=5, prior_gens=["A"]
+                ).collect()
+            }
+            assert {int(u.rsplit("/", 1)[1]) for u in got} == set(
+                range(300, 350)
+            )
+        finally:
+            store.drop()
+
     def test_snapshot_restore_excludes_crash_orphans(self, spark, tmp_path):
         """End-to-end resume semantics with a SATURATED bloom (tiny
         m_bits → every probe is maybe-seen → every verdict goes through
