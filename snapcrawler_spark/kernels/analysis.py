@@ -90,49 +90,21 @@ def content_type_udf(data: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def region_count(px: np.ndarray, max_side: int = 96) -> int:
-    """Stable-region count — the from-scratch stand-in for cv2 MSER in
-    has_watermark (filtering_module.py:442-457; cv2 unavailable).
+def region_count(px: np.ndarray, max_side: int = 256) -> int:
+    """MSER region count — REAL Maximally-Stable-Extremal-Region
+    semantics since round 6 (kernels/mser.py: intensity-order
+    union-find component tree, Δ-variation stability with local-minimum
+    detection, min/max area and min_diversity pruning, both polarities)
+    at cv2.MSER_create() default parameters, matching the reference's
+    ``len(mser.detectRegions(gray)) > sensitivity`` check
+    (filtering_module.py:442-457). This replaces the round-1
+    three-threshold component-count stand-in — the remaining documented
+    deviation vs cv2 is the ≤max_side block-mean downsample (with
+    area thresholds rescaled) that bounds the Python-side sweep."""
+    from snapcrawler_spark.kernels.mser import mser_region_count
 
-    Downsample by block mean to ≤max_side, binarize at three gray
-    thresholds, count 4-connected components of each mask, and return
-    the median count. Busy overlay text/logos produce many small stable
-    components; clean photos produce few large ones — the same signal
-    MSER region count carries."""
     gray = to_gray(px) / 1000.0
-    h, w = gray.shape
-    sy, sx = max(1, h // max_side), max(1, w // max_side)
-    th, tw = h // sy * sy, w // sx * sx
-    if th == 0 or tw == 0:
-        return 0
-    small = gray[:th, :tw].reshape(th // sy, sy, tw // sx, sx).mean(axis=(1, 3))
-
-    def n_components(mask: np.ndarray) -> int:
-        lab = np.full(mask.shape, -1, dtype=np.int32)
-        count = 0
-        hh, ww = mask.shape
-        for i in range(hh):
-            for j in range(ww):
-                if mask[i, j] and lab[i, j] < 0:
-                    count += 1
-                    stack = [(i, j)]
-                    lab[i, j] = count
-                    while stack:
-                        y, x = stack.pop()
-                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                            ny, nx = y + dy, x + dx
-                            if (
-                                0 <= ny < hh and 0 <= nx < ww
-                                and mask[ny, nx] and lab[ny, nx] < 0
-                            ):
-                                lab[ny, nx] = count
-                                stack.append((ny, nx))
-        return count
-
-    counts = sorted(
-        n_components(small < t) for t in (96.0, 128.0, 160.0)
-    )
-    return counts[1]
+    return mser_region_count(gray, max_side=max_side)
 
 
 def has_watermark(px: np.ndarray, sensitivity: int = 50) -> bool:

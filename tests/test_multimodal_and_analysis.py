@@ -127,6 +127,20 @@ class TestColorPalette:
         assert set(got[0]) == {"#000000", "#c80a0a"}
 
 
+def _glyph_grid(n: int = 8, cell: int = 30, glyph: int = 10) -> np.ndarray:
+    """n×n grid of dark glyph blocks (area glyph² ≥ cv2's min_area=60
+    each — real MSER correctly ignores sub-min_area specks, so the old
+    3×3-dot fixtures would yield ZERO regions under faithful
+    semantics)."""
+    side = n * cell
+    img = np.full((side, side), 240, dtype=np.uint8)
+    for i in range(n):
+        for j in range(n):
+            y, x = 5 + i * cell, 5 + j * cell
+            img[y : y + glyph, x : x + glyph] = 15
+    return img
+
+
 class TestWatermark:
     def test_region_count_separates_busy_overlay_from_flat(self):
         from snapcrawler_spark.kernels.analysis import (
@@ -135,23 +149,37 @@ class TestWatermark:
         )
 
         flat = np.full((96, 96, 3), 240, dtype=np.uint8)
-        assert region_count(flat) <= 1
+        # a constant image has at most the two whole-frame extremal
+        # regions (one per polarity)
+        assert region_count(flat) <= 2
         assert not has_watermark(flat)
-        # 8×8 grid of isolated dark dots = 64 stable regions (> 50)
-        dotted = np.full((96, 96), 240, dtype=np.uint8)
-        for i in range(8):
-            for j in range(8):
-                dotted[4 + i * 12 : 7 + i * 12, 4 + j * 12 : 7 + j * 12] = 10
-        assert region_count(np.stack([dotted] * 3, -1)) == 64
+        dotted = _glyph_grid()  # 64 glyphs ≥ min_area
+        got = region_count(np.stack([dotted] * 3, -1))
+        # 64 glyph MSERs (+ at most a few background-scale regions)
+        assert 64 <= got <= 70
         assert has_watermark(np.stack([dotted] * 3, -1))
+
+    def test_mser_parameters_behave(self):
+        """cv2-parameter semantics: min_area excludes sub-threshold
+        specks; a clean gradient yields no high-count structure."""
+        from snapcrawler_spark.kernels.mser import mser_region_count
+
+        specks = np.full((120, 120), 240, dtype=np.uint8)
+        for i in range(6):
+            for j in range(6):
+                specks[5 + i * 18 : 8 + i * 18, 5 + j * 18 : 8 + j * 18] = 10
+        # 3×3 specks (area 9 < min_area 60) → only frame-scale regions
+        assert mser_region_count(specks) <= 3
+        ramp = (
+            np.linspace(60, 200, 160)[None, :]
+            + np.linspace(0, 40, 120)[:, None]
+        ).astype(np.uint8)
+        assert mser_region_count(ramp) <= 3
 
     def test_watermark_udf_rejects_in_pipeline(self, spark):
         from snapcrawler_spark.kernels.analysis import watermark_udf
 
-        dotted = np.full((96, 96), 240, dtype=np.uint8)
-        for i in range(8):
-            for j in range(8):
-                dotted[4 + i * 12 : 7 + i * 12, 4 + j * 12 : 7 + j * 12] = 10
+        dotted = _glyph_grid()
         flat = np.full((64, 64, 3), 240, dtype=np.uint8)
         df = spark.createDataFrame(
             [(encode_png(np.stack([dotted] * 3, -1)),), (encode_png(flat),)],
