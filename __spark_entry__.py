@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snapcrawler_spark.operators import image_dedup as _imgdedup
+from snapcrawler_spark.operators import graph as _graph
 from snapcrawler_spark.pipeline import ann as _ann
 from snapcrawler_spark.pipeline import corpus as _corpus
 from snapcrawler_spark.pipeline import decontaminate as _decon
@@ -468,6 +469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the seeded eval set (pipeline/decontaminate.py —
         # broadcast gram-hash probe, corpus side never shuffles)
         "corpus_decontaminate": _decon.corpus_decontaminate,
+        # integer-exact PageRank over the seeded link multigraph —
+        # frontier prioritization's link-analysis signal as join+groupBy
+        # power-iteration rounds (operators/graph.py)
+        "graph_pagerank": _graph.graph_pagerank,
         "corpus_shard_pack": _corpus.shard_pack,
         "corpus_interleave": _corpus.interleave,
         "corpus_pipeline_pack": _corpus.pipeline_pack,
@@ -1273,6 +1278,40 @@ def oracle_sql() -> dict[str, str]:
                cast(keeper_doc_id as bigint) AS keeper_doc_id
         FROM tagged WHERE reason IS NOT NULL ORDER BY doc_id
     """
+
+    # integer-exact PageRank (operators/graph.py): the power iteration
+    # UNROLLS to a CTE chain (the ann_ivf-Lloyd pattern) — floor-div
+    # per-edge contributions keep every SUM order-independent 64-bit
+    # arithmetic, so the unrolled SQL matches Spark bit-for-bit
+    from snapcrawler_spark.operators import graph as _graph_mod
+
+    _pr_edges = " UNION ALL ".join(
+        "SELECT doc_id AS src, "
+        f"cast(('0x' || substr(md5('g{k}#' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " as bigint) % (SELECT n FROM nn) AS dst FROM documents"
+        for k in range(_graph_mod.GRAPH_OUT_DEGREE)
+    )
+    _pr_sql = f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        docs AS (SELECT doc_id FROM documents),
+        edges AS ({_pr_edges}),
+        outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        s0 AS (SELECT doc_id, CAST({_graph_mod.PR_SCALE} AS BIGINT) AS pr
+               FROM docs)"""
+    _prev = "s0"
+    for _t in range(1, _graph_mod.PR_ITERS + 1):
+        _pr_sql += f""",
+        c{_t} AS (SELECT e.dst, SUM({_prev}.pr // o.outdeg) AS inflow
+                 FROM {_prev} JOIN outdeg o ON {_prev}.doc_id = o.src
+                 JOIN edges e ON e.src = {_prev}.doc_id GROUP BY e.dst),
+        s{_t} AS (SELECT d.doc_id,
+                 CAST({_graph_mod.PR_BASE} + ({_graph_mod.PR_DAMP}
+                      * COALESCE(c.inflow, 0)) // {_graph_mod.PR_SCALE}
+                      AS BIGINT) AS pr
+                 FROM docs d LEFT JOIN c{_t} c ON c.dst = d.doc_id)"""
+        _prev = f"s{_t}"
+    _pr_sql += f"\nSELECT doc_id, pr AS pr_e6 FROM {_prev} ORDER BY doc_id"
+    sqls["graph_pagerank"] = _pr_sql
 
     sqls["corpus_build"] = _corpus_build_sql(_corpus.CorpusConfig())
     sqls["corpus_build_alt"] = _corpus_build_sql(_corpus.ALT_CONFIG)

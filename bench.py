@@ -47,6 +47,8 @@ HEADLINE_QUERIES = [
     "text_quality_score",
     # round 5: token-budget shard packing (global prefix sum shape)
     "corpus_shard_pack",
+    # round 6: iterative join+groupBy power iteration (link analysis)
+    "graph_pagerank",
 ]
 
 
