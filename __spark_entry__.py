@@ -897,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents) x) y
             )
             SELECT dg.doc_id,
-                   cast(count(DISTINCT dg.g) as bigint) AS n_overlap_grams
+                   cast(count(*) as bigint) AS n_overlap_grams
             FROM dg JOIN evg ON dg.g = evg.g
             GROUP BY dg.doc_id ORDER BY dg.doc_id
         """,

@@ -87,10 +87,16 @@ def decontaminate_flags(
         .distinct()
     )
     doc_grams = _kgram_hashes(corpus, k)
+    # plain count, not count_distinct: _kgram_hashes already emits
+    # DISTINCT grams per doc (array_distinct before the explode), so
+    # the distinct-agg's extra (doc_id, g) exchange would be pure
+    # waste — with count the aggregate partial-combines map-side and
+    # the whole stage is scan → project → broadcast-probe →
+    # partial-agg → ONE exchange on doc_id (plan-pinned)
     return (
         doc_grams.join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_overlap_grams"))
+        .agg(F.count("*").alias("n_overlap_grams"))
         .orderBy("doc_id")
     )
 

@@ -35,6 +35,37 @@ def test_overlap_flagged_clean_survives(spark):
     assert got[1] == 1 and got[3] == 1
 
 
+def test_plan_corpus_side_never_shuffles(spark):
+    """The 100 TB shape, pinned: with AQE/auto-broadcast off, the eval
+    gram set moves through ONE BroadcastExchange, the corpus gram side
+    reaches the join with NO shuffle, and the per-doc count partial-
+    aggregates into a single hashpartitioning(doc_id) exchange (plus
+    the output orderBy's range partitioning)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = (
+            corpus_decontaminate(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastExchange") == 1
+        assert plan.count("Exchange hashpartitioning") == 2  # agg + eval distinct
+        assert plan.count("Exchange rangepartitioning") == 1  # output order
+        # the corpus-side matched stream partial-aggregates before its
+        # only exchange (map-side combine present)
+        assert "partial_count" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_seeded_gate_matches_brute_force(spark):
     """Full brute-force Python oracle at sf0.001: the flagged set and
     per-doc overlap counts equal a direct set-intersection of word
