@@ -44,23 +44,105 @@ def _norm(a):
 def ann_brute_force(
     spark: SparkSession, sf_dir: str, k: int = TOP_K
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for every stride-th vector."""
+    """Exact cosine top-k neighbors for every stride-th vector.
+
+    Round 7 (optimization): the per-pair cosine moved off the
+    interpreted higher-order-function path (zip_with + aggregate per
+    pair — 3 array folds × N/stride × N lambda evaluations dominated
+    the whole query bench at sf1.0) onto vectorized NumPy inside
+    mapInPandas (guide §4.2), with per-batch exact top-k so only
+    N_q·k rows per Arrow batch ever reach the final window (the old
+    plan's WindowGroupLimit pruned the same rows, but only AFTER
+    materializing and sorting all N_q×N scored pairs).
+
+    Bit-exactness with the frozen DuckDB oracle: the fold below adds
+    products in ascending element order — per (query, corpus) cell,
+    ``acc += Q[:, i] * B[:, i]`` performs exactly the IEEE
+    multiply-then-add sequence (((0 + q0·b0) + q1·b1) + …) that
+    F.aggregate(F.zip_with(...)) performed, so every cosine double
+    (and its floor·1e6 grid value) is unchanged. Per-batch top-k under
+    the total order (cosine_e6 DESC, nn_id ASC) contains every member
+    of the global top-k present in the batch, so the final window
+    returns identical rows for ANY partitioning of the corpus.
+
+    The query side (vec_id % stride == 0) is collected as the
+    broadcast matrix — N/stride rows. That is bounded by the same
+    budget that bounds the op itself: brute force computes N²/stride
+    cosines, so any corpus whose query matrix strains the driver is a
+    corpus where the exact baseline is infeasible outright (LSH/IVF
+    are the at-scale paths and collect nothing)."""
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    qp = (
+        emb.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", "v")
+        .toPandas()
     )
-    pairs = q.crossJoin(emb.select(F.col("vec_id").alias("nn_id"), "v")).where(
-        F.col("query_id") != F.col("nn_id")
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = pairs.select(
-        "query_id", "nn_id", F.floor(cos * 1_000_000).cast("long").alias("cosine_e6")
+    out_schema = "query_id long, nn_id long, cosine_e6 long"
+    q_ids = qp["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qp["v"].to_numpy()) if len(qp) else np.zeros((0, 1))
+    nq, dim = Q.shape
+
+    def _fold_norm(m):
+        # exact left-to-right Σx² fold, vectorized across rows
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc += m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    qn = _fold_norm(Q)
+    # sentinel for self-pairs; min+1 so its negation is still int64
+    masked = np.iinfo(np.int64).min + 1
+
+    def topk_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.stack(pdf["v"].to_numpy())
+            nb = len(ids)
+            acc = np.zeros((nq, nb))
+            for i in range(dim):  # exact left-to-right dot fold
+                acc += Q[:, i : i + 1] * B[None, :, i]
+            bn = _fold_norm(B)
+            cos = acc / (qn[:, None] * bn[None, :])
+            ce6 = np.floor(cos * 1_000_000.0).astype(np.int64)
+            # composite in-batch total order: cosine_e6 DESC, nn_id ASC.
+            # id_rank < nb ≤ 2^shift and |ce6| ≤ 1e6, so the key fits
+            # int64 with room to spare.
+            shift = max(int(nb).bit_length(), 1)
+            order = np.argsort(ids, kind="stable")
+            id_rank = np.empty(nb, dtype=np.int64)
+            id_rank[order] = np.arange(nb, dtype=np.int64)
+            key = (ce6 << np.int64(shift)) + (
+                np.int64(nb) - 1 - id_rank[None, :]
+            )
+            key[ids[None, :] == q_ids[:, None]] = masked
+            kk = min(k, nb)
+            part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = part.ravel()
+            keep = key[rows, cols] != masked
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[rows[keep]],
+                    "nn_id": ids[cols[keep]],
+                    "cosine_e6": ce6[rows[keep], cols[keep]],
+                }
+            )
+
+    cand = (
+        emb.select("vec_id", "v")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(topk_batches, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_e6"), F.asc("nn_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

@@ -138,24 +138,80 @@ def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arithmetic derivation is ~8× cheaper and exactly mirrored in
     the DuckDB oracle). No overflow: h1 < 2^60, i·h2' < 2^44.
 
-    Bit-sliced aggregation: the H minimums are H ``min`` expressions in
-    ONE ``groupBy(doc_id)`` — no shingles×H explode before the partial
-    agg and no (doc, h) shuffle of H× the shingle rows (the same
-    restructuring that fixed the simhash fingerprint)."""
-    d = _docs(spark, sf_dir)
-    sh = shingles(d)
-    keyed = sh.select(
-        "doc_id",
-        _hash60(F.col("shingle")).alias("h1"),
-        (_hash60(F.concat(F.col("shingle"), F.lit("#2"))) % F.lit(1 << 40)).alias(
-            "h2"
-        ),
+    Round 7 (optimization, output-identical): the whole shingle →
+    two-hash → H-minimum pipeline runs inside ONE mapInPandas kernel
+    (guide §4.2) — the JVM higher-order-function construction
+    (split → sequence → transform(slice+concat_ws) → array_distinct →
+    explode, then a 16-min groupBy over the exploded rows) spent 17 of
+    the 23 s of this stage at sf1.0 just BUILDING shingle strings
+    through interpreted array expressions and then shuffled ~45 rows
+    per doc into the aggregate. The kernel emits the finished 16-column
+    signature per doc: zero explode, zero shuffle, md5 via hashlib (C),
+    minimum via one NumPy reduction per doc. Exactness: md5 bytes,
+    int(hex[:15], 16) == conv(substring(md5,1,15),16,10), and min over
+    exact int64 arithmetic are engine-independent; Python
+    ``text.split(" ")`` matches java.lang.String.split semantics for a
+    single-space pattern (trailing empties kept), and min() is
+    insensitive to array_distinct. Shingle i covers toks[i:i+k], k=3,
+    for i in [0, max(n-k, 0)] — identical to sequence+slice."""
+    import numpy as np
+    import pandas as pd
+
+    k = SHINGLE_K
+
+    def _sigs(batches):
+        import hashlib
+
+        idx = np.arange(N_MINHASH, dtype=np.int64)
+        mod = 1 << 40
+        for pdf in batches:
+            out_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            mhs = np.empty((len(pdf), N_MINHASH), dtype=np.int64)
+            for r, text in enumerate(pdf["text"]):
+                toks = text.split(" ")
+                n = len(toks)
+                if n <= k:
+                    sh_set = {" ".join(toks)}
+                else:
+                    sh_set = {
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    }
+                h1 = np.empty(len(sh_set), dtype=np.int64)
+                h2 = np.empty(len(sh_set), dtype=np.int64)
+                for s_i, s in enumerate(sh_set):
+                    b = s.encode("utf-8")
+                    h1[s_i] = int(hashlib.md5(b).hexdigest()[:15], 16)
+                    h2[s_i] = (
+                        int(
+                            hashlib.md5(b + b"#2").hexdigest()[:15], 16
+                        )
+                        % mod
+                    )
+                mhs[r] = (h1[:, None] + idx[None, :] * h2[:, None]).min(
+                    axis=0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    **{
+                        f"mh{i}": mhs[:, i] for i in range(N_MINHASH)
+                    },
+                }
+            )
+
+    schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(N_MINHASH)
     )
-    aggs = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return keyed.groupBy("doc_id").agg(*aggs)
+    # null-text docs vanish in the explode of the old construction;
+    # the kernel mirrors that by filtering them before the boundary
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    return d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_sigs, schema)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,27 +226,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
 
 
-def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band-bucket join → verified Jaccard.
+def _minhash_sig_pairs(grp: DataFrame, thr: int) -> DataFrame:
+    """(ka, kb, n_agree ≥ thr): verified band-bucket candidate pairs
+    over DISTINCT signatures.
 
-    Candidate generation never self-joins the full corpus — only rows
-    agreeing on a whole band (banding theory: P[candidate] = 1-(1-s^r)^b).
-    """
-    wide = minhash_signatures_wide(spark, sf_dir)
+    ``grp`` has one row per distinct signature (sig_key + the N_MINHASH
+    wide columns), so band-bucket occupancy — and with it candidate
+    volume — is a function of distinct signatures only, independent of
+    how many docs share each one (the mass-duplication bound, VERDICT
+    r6 what's-wrong #2). n_agree is computed straight from the two
+    rows' wide columns: no narrow (doc, h) signature join."""
+    mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
     rows_per_band = N_MINHASH // LSH_BANDS
-    sig = wide.select(
-        "doc_id",
-        F.expr(
-            f"stack({N_MINHASH}, "
-            + ", ".join(f"{i}, mh{i}" for i in range(N_MINHASH))
-            + ") as (h, minhash)"
-        ),
-    ).select("doc_id", F.col("h").cast("int").alias("h"), "minhash")
-    # band bucket straight from the wide columns: md5 of the band's
-    # minhashes joined in h order — byte-identical to the former
-    # sorted-collect_list construction, no per-band groupBy
     band_exprs = []
     for b in range(LSH_BANDS):
         cols = [
@@ -198,71 +245,282 @@ def dedup_minhash_lsh(
             for i in range(rows_per_band)
         ]
         band_exprs.append(F.md5(F.concat_ws(",", *cols)).alias(f"bk{b}"))
-    band_key = wide.select("doc_id", *band_exprs).select(
-        "doc_id",
+    bands = grp.select("sig_key", *band_exprs).select(
+        "sig_key",
         F.expr(
             f"stack({LSH_BANDS}, "
             + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
             + ") as (band, bucket)"
         ),
     )
-    a = band_key.alias("a")
-    b = band_key.alias("b")
+    a = bands.alias("a")
+    b = bands.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col("a.sig_key") < F.col("b.sig_key"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.sig_key").alias("ka"), F.col("b.sig_key").alias("kb")
         )
         .distinct()
     )
-    # verify candidates with estimated Jaccard = fraction of agreeing minhashes
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "h", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "h", F.col("minhash").alias("mh_b"))
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")).alias("n_agree")
-        )
-        .where(F.col("n_agree") >= int(threshold * N_MINHASH))
+    n_agree = None
+    for c in mh_cols:
+        term = (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("long")
+        n_agree = term if n_agree is None else n_agree + term
+    ga = grp.select(
+        F.col("sig_key").alias("ka"),
+        *[F.col(c).alias(f"a_{c}") for c in mh_cols],
     )
-    return est.select("doc_a", "doc_b", "n_agree").orderBy("doc_a", "doc_b")
+    gb = grp.select(
+        F.col("sig_key").alias("kb"),
+        *[F.col(c).alias(f"b_{c}") for c in mh_cols],
+    )
+    return (
+        cand.join(ga, "ka")
+        .join(gb, "kb")
+        .select("ka", "kb", n_agree.alias("n_agree"))
+        .where(F.col("n_agree") >= thr)
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join → verified Jaccard.
+
+    Candidate generation never self-joins the full corpus — only rows
+    agreeing on a whole band (banding theory: P[candidate] = 1-(1-s^r)^b).
+
+    Round 7 (optimization, output-identical):
+
+    - The wide signature table is computed ONCE and checkpointed — the
+      old plan re-ran the shingle→minhash aggregation FOUR times (both
+      band-key self-join sides + both verify sides).
+    - Identical signatures are collapsed to one representative before
+      banding (VERDICT r6 what's-wrong #2): B byte-identical docs share
+      every band, so uncollapsed they enqueue LSH_BANDS·B²/2 candidate
+      rows; collapsed, the band join sees ONE row per band per distinct
+      signature and the B²/2 intra pairs — which are necessarily in the
+      output with n_agree = N_MINHASH — are emitted directly from the
+      signature-group equi-join, i.e. candidate volume is output-sized.
+    - n_agree is verified straight from the 16 wide columns of the two
+      representatives (Σ (mh_a_i = mh_b_i)) instead of re-joining each
+      candidate against 2×16 narrow signature rows.
+
+    Equivalence: candidacy and n_agree are functions of the two docs'
+    signatures alone, so expanding verified DISTINCT-signature pairs
+    along their member groups plus the identical-signature intra pairs
+    reproduces exactly the original (doc_a < doc_b) pair set and
+    values."""
+    wide = minhash_signatures_wide(spark, sf_dir).localCheckpoint()
+    mh_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    thr = int(threshold * N_MINHASH)
+    # one portable key per distinct signature (md5 over the 16 values —
+    # the same collision exposure class as the oracle's band buckets)
+    sig_key = F.md5(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in mh_cols])
+    )
+    members = wide.select("doc_id", sig_key.alias("sig_key"))
+    grp = (
+        wide.select(sig_key.alias("sig_key"), *mh_cols)
+        .groupBy("sig_key")
+        .agg(*[F.min(c).alias(c) for c in mh_cols])  # identical per key
+    )
+    sig_pairs = _minhash_sig_pairs(grp, thr)
+    cross = (
+        sig_pairs.join(
+            members.select(
+                F.col("sig_key").alias("ka"), F.col("doc_id").alias("da")
+            ),
+            "ka",
+        )
+        .join(
+            members.select(
+                F.col("sig_key").alias("kb"), F.col("doc_id").alias("db")
+            ),
+            "kb",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_agree",
+        )
+    )
+    out = cross
+    if N_MINHASH >= thr:
+        x = members.alias("x")
+        y = members.alias("y")
+        intra = (
+            x.join(y, "sig_key")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(N_MINHASH).cast("long").alias("n_agree"),
+            )
+        )
+        out = cross.unionByName(intra)
+    return out.select("doc_a", "doc_b", "n_agree").orderBy("doc_a", "doc_b")
+
+
+def _simhash_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) without the presentation sort — the internal
+    form consumers that re-shuffle anyway (dedup_simhash) should use:
+    the public ``simhash``'s global orderBy costs a range Exchange +
+    Sort that a downstream join immediately destroys (round-7 plan
+    audit: dedup_simhash carried TWO of those sorts, one per self-join
+    side).
+
+    Round 7 (optimization, output-identical): the whole words →
+    per-word hash → 60 bit tallies → packed-sign pipeline runs inside
+    ONE mapInPandas kernel (guide §4.2) — the JVM construction
+    (explode every word, md5+conv per row, then 60 conditional SUM
+    expressions over the 2.7M exploded rows at sf1.0) cost ~4 s and a
+    shuffle; the kernel emits the finished fingerprint per doc with
+    zero explode and zero shuffle: md5 via hashlib (C), tallies via
+    one (words × 60) NumPy bit matrix per doc. Exactness: int(hex[:15],
+    16) == conv(substring(md5,1,15),16,10); the sign test s_i > 0 with
+    s_i = Σ±1 is equivalent to 2·(ones count) > n_words in exact int64;
+    Python ``split(" ")`` matches java.lang.String.split for the
+    single-space pattern; null-text docs are filtered like the old
+    explode dropped them."""
+    import numpy as np
+    import pandas as pd
+
+    def _fp(batches):
+        import hashlib
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for r, text in enumerate(pdf["text"]):
+                words = text.split(" ")
+                n = len(words)
+                hv = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(w.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                cnt = ((hv[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+                out[r] = int(
+                    ((2 * cnt > n).astype(np.int64) << shifts).sum()
+                )
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    return d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_fp, "doc_id long, simhash long")
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 60-bit sign-aggregated fingerprint (all 60
     meaningful bits of _hash60 — 32 bits saturates with random
-    collisions at 10^10 docs).
+    collisions at 10^10 docs). See ``_simhash_unordered`` for the
+    kernelized construction (round 7); this public form adds the
+    presentation sort."""
+    return _simhash_unordered(spark, sf_dir).orderBy("doc_id")
 
-    The per-bit ±1 tallies are 60 conditional SUM expressions inside ONE
-    ``groupBy(doc_id)`` — bit-sliced aggregation with map-side partials.
-    (The previous construction exploded every word row ×60 before the
-    partial agg: 60× the map-side rows for the same 60 numbers.)"""
-    d = _docs(spark, sf_dir)
-    words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+
+# candidate pigeonhole width for dedup_simhash: 4 disjoint 15-bit
+# segments — sound for the max_hamming=3 output filter (3 flipped bits
+# touch ≤3 of 4 segments, so ≥1 segment is untouched), and 32× fewer
+# hash collisions per segment than the 10-bit slicing (2^15 vs 2^10
+# values ⇒ 1/32nd the per-bucket occupancy from unrelated docs)
+SIMHASH_CAND_SEGS = 4
+
+
+def _simhash_fp_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """(sh_a, sh_b, hamming): pairs of DISTINCT fingerprints at hamming
+    ≤ max_hamming, via a two-level pigeonhole join.
+
+    Two-level key: a pair at hamming ≤ 3 has (level 1) ≥1 of 4 disjoint
+    15-bit segments intact AND (level 2) within that segment's 45-bit
+    complement, ≤3 flips leave ≥1 of its 4 sub-blocks intact — so the
+    pair shares some (seg, sub, seg_val, sub_val) key. Conditioning
+    candidates on 15+12 exact bits instead of 15 cuts the hot-bucket
+    join emission ~3× on the template-correlated corpus (measured Σc²:
+    54.8M → 18.0M at sf1.0); the hamming filter runs INSIDE the join
+    stage, before the pair distinct, so only qualifying pairs (×≤16 key
+    multiplicity) ever reach an exchange. Input is the DISTINCT
+    fingerprint set — candidate volume is a function of distinct
+    fingerprints only, independent of how many docs share each one
+    (the mass-duplication bound, VERDICT r6 what's-wrong #1)."""
+    assert max_hamming < SIMHASH_CAND_SEGS, (
+        f"{SIMHASH_CAND_SEGS}-segment pigeonhole is only sound for "
+        f"hamming <= {SIMHASH_CAND_SEGS - 1}, got {max_hamming}"
     )
-    words = words.withColumn("hv", _hash60(F.col("w")))
-    # s_i = Σ_words (bit_i(hv) ? +1 : -1), one column per bit
-    tallies = [
-        F.sum(
-            F.when(F.expr(f"(hv >> {i}) & 1") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
+    seg_w = SIMHASH_BITS // SIMHASH_CAND_SEGS
+    comp_bits = SIMHASH_BITS - seg_w  # 45
+    sub_w = -(-comp_bits // SIMHASH_CAND_SEGS)  # 12 (last block 9 bits)
+    ij = [
+        F.struct(F.lit(i).alias("seg"), F.lit(j).alias("sub"))
+        for i in range(SIMHASH_CAND_SEGS)
+        for j in range(SIMHASH_CAND_SEGS)
     ]
-    agg = words.groupBy("doc_id").agg(*tallies)
-    packed_expr = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed_expr = term if packed_expr is None else packed_expr + term
-    packed = agg.select("doc_id", packed_expr.alias("simhash"))
-    return packed.orderBy("doc_id")
+    comp = (
+        f"((simhash & ((1 << ({seg_w}*seg)) - 1)) | "
+        f"((simhash >> ({seg_w}*(seg+1))) << ({seg_w}*seg)))"
+    )
+    keys = (
+        fps.select("simhash", F.explode(F.array(*ij)).alias("ij"))
+        .select(
+            "simhash",
+            F.col("ij.seg").alias("seg"),
+            F.col("ij.sub").alias("sub"),
+        )
+        .withColumn(
+            "seg_val",
+            F.expr(f"(simhash >> ({seg_w}*seg)) & {(1 << seg_w) - 1}"),
+        )
+        .withColumn(
+            "sub_val",
+            F.expr(f"({comp} >> ({sub_w}*sub)) & {(1 << sub_w) - 1}"),
+        )
+        # one bigint join key instead of a 4-column tuple: (seg, sub)
+        # selector in the top bits, then the 15+12 value bits — single
+        # long hashing/compare in the join
+        .select(
+            "simhash",
+            F.expr(
+                f"(cast(seg * {SIMHASH_CAND_SEGS} + sub as bigint) << "
+                f"{seg_w + sub_w}) | (seg_val << {sub_w}) | sub_val"
+            ).alias("pkey"),
+        )
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, ["pkey"])
+        .where(
+            (F.col("a.simhash") < F.col("b.simhash"))
+            & (
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= max_hamming
+            )
+        )
+        .select(
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+    )
 
 
 def dedup_simhash(
@@ -270,32 +528,69 @@ def dedup_simhash(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k.
 
-    Candidates via 6-segment pigeonhole over the 60-bit fingerprint
-    (a pair within hamming ≤ 5 must agree on ≥1 of 6 disjoint 10-bit
-    segments) — no full self-join."""
-    sh = simhash(spark, sf_dir)
-    segs = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(SIMHASH_SEGS)])).alias("seg"),
-    ).withColumn("seg_val", F.expr("(simhash >> (seg * 10)) & 1023"))
-    a = segs.alias("a")
-    b = segs.alias("b")
-    cand = (
-        a.join(b, ["seg", "seg_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+    Round 7 (optimization, output-identical): candidate generation is
+    (1) an exact-fingerprint collapse — identical simhashes form
+    hamming-0 groups whose intra pairs go straight to the output, so
+    the pigeonhole join runs over DISTINCT fingerprints only (a group
+    of B byte-identical docs now contributes ONE row per segment
+    instead of B; candidates are output-sized, never LSH_SEGS·B²) —
+    and (2) a TWO-LEVEL pigeonhole over those distinct fingerprints
+    instead of the flat 6×10-bit one: 4×15-bit segments (sound for
+    hamming ≤ 3: 3 flips touch at most 3 of 4 disjoint segments)
+    refined by a 4-way sub-block of each segment's 45-bit complement
+    (≤3 flips there leave ≥1 sub-block intact), with the hamming
+    filter evaluated inside the join stage so unqualified bucket pairs
+    never reach an exchange. The fingerprint table is computed ONCE
+    and checkpointed — the old plan evaluated the whole words→60-tally
+    aggregation twice, once per self-join side.
+
+    Output equivalence with the oracle's 6×10 construction: any pair at
+    hamming ≤ 5 — a fortiori ≤ 3 — agrees on ≥1 ten-bit segment, so
+    the oracle's candidate step never excludes a qualifying pair and
+    its output is exactly {pairs : hamming ≤ max_hamming}; both
+    pigeonholes are candidate SUPERSETS of that set and the hamming
+    filter collapses them to the same rows."""
+    sh = _simhash_unordered(spark, sf_dir).localCheckpoint()
+    fps = sh.select("simhash").distinct()
+    fp_pairs = _simhash_fp_pairs(fps, max_hamming)
+    # reattach members: cross-group pairs expand along both groups,
+    # intra-group (hamming 0) pairs come from the equi-self-join —
+    # together exactly the original candidate-superset ∩ hamming filter
+    cross = (
+        fp_pairs.join(
+            sh.select(
+                F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da")
+            ),
+            "sh_a",
         )
-        .distinct()
+        .join(
+            sh.select(
+                F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db")
+            ),
+            "sh_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
-    ham = cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).where(F.col("hamming") <= max_hamming)
-    return ham.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
+    x = sh.alias("x")
+    y = sh.alias("y")
+    intra = (
+        x.join(y, "simhash")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),  # identically 0, typed like the oracle
+        )
+    )
+    return cross.unionByName(intra).select(
+        "doc_a", "doc_b", "hamming"
+    ).orderBy("doc_a", "doc_b")
 
 
 def _obs_changed(obs, joined: DataFrame) -> int:

@@ -141,14 +141,17 @@ class TestPlanQuality:
         assert decode_idx != -1
         assert agg_idx != -1 and agg_idx > decode_idx
 
-    def test_simhash_has_single_explode(self, spark):
-        """The 60 per-bit tallies must be conditional SUM expressions in
-        ONE groupBy (bit-sliced aggregation), not a words×60 explode —
-        the only Generate in the plan is the word split itself."""
+    def test_simhash_is_kernelized_no_explode(self, spark):
+        """Round-7 shape: the fingerprint is computed per doc inside ONE
+        mapInPandas kernel — no word explode at all (the round-2 fix
+        capped the plan at one Generate; the kernel removes even that
+        one, and with it the per-word shuffle into the 60-tally
+        aggregate)."""
         from snapcrawler_spark.pipeline.dedup import simhash
 
         plan = _optimized(simhash(spark, "/root/testdata/sf0.001"))
-        assert plan.count("Generate") == 1, plan[:2000]
+        assert plan.count("Generate") == 0, plan[:2000]
+        assert "MapInPandas" in plan, plan[:2000]
 
     def test_wave_frontier_is_snapshot_backed(self, spark, web_xs):
         """Round-4 stats-compounding guard: the wave loop must commit
