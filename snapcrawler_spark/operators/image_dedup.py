@@ -80,18 +80,33 @@ def seeded_phash_images(spark, sf_dir: str) -> DataFrame:
     )
     # the twin offsets are fixed literals mirrored in the DuckDB oracle
     # SQL — they are only collision-free while every base doc_id is
-    # below the smallest offset. Fail loudly (here AND in any bench/SF
-    # that would break the invariant) instead of letting twin ids alias
-    # base ids into nondeterministic dropDuplicates divergence.
-    max_id = d.agg(F.max("doc_id")).first()[0]
-    if max_id is not None and max_id >= 10_000_000:
-        raise ValueError(
-            f"seeded_phash_images: max doc_id {max_id} >= 1e7 twin "
-            "offset — raise the offsets (and the oracle SQL) in lockstep"
-        )
+    # below the smallest offset. Fail loudly instead of letting twin
+    # ids alias base ids into nondeterministic dropDuplicates
+    # divergence. Round 7 (ADVICE r6 #3): the guard is a LAZY
+    # assert_true folded into the hash column — the old eager
+    # agg(max).first() ran a dedicated full documents scan at plan
+    # CONSTRUCTION on every seeded_phash_images/gate call; now the
+    # per-row check rides the first job that scans the table (raises
+    # with the same message, costs one comparison per row, adds 0 to
+    # the hash when the invariant holds).
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < F.lit(10_000_000),
+            F.concat(
+                F.lit("seeded_phash_images: doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    " >= 1e7 twin offset — raise the offsets (and the"
+                    " oracle SQL) in lockstep"
+                ),
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     base = d.withColumn(
         "base",
-        _hash60(F.concat(F.lit("ph#"), F.col("doc_id").cast("string"))),
+        _hash60(F.concat(F.lit("ph#"), F.col("doc_id").cast("string")))
+        + guard,
     )
 
     def _bit(expr: str):

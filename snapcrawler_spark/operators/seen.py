@@ -111,8 +111,13 @@ class BloomSeenSet:
         self.exact_store = exact_store
         self._gen = uuid.uuid4().hex
         self._probe_seq = 0
-        self._committed_seq: int | None = None  # set by restore()
-        self._prior_gens: list[str] = []
+        # per-generation committed high-water marks (gen → next seq at
+        # that gen's last commit), set by restore(). A single global
+        # committed bound over the whole gen chain resurrected a
+        # crashed run's orphans once a LATER run committed past their
+        # seq (restore reuses seq numbers) — ADVICE r6 #1; judging each
+        # row by ITS OWN generation's bound closes that.
+        self._gen_bounds: dict[str, int] = {}
         # live plan capture for the rescue join (tests pin the in-crawl
         # join shape); off by default — toString costs a plan walk
         self.capture_rescue_plans = False
@@ -123,7 +128,7 @@ class BloomSeenSet:
         """The exact seen table = union of committed deltas."""
         if self.exact_store is not None:
             return self.exact_store.valid(
-                self._committed_seq, self._gen, self._prior_gens
+                self._gen, self._gen_bounds
             ).select("url", "pid")
         if not self._exact_parts:
             return self.spark.createDataFrame([], "url string, pid int")
@@ -315,7 +320,10 @@ class BloomSeenSet:
         if self.exact_store is not None:
             counters = {
                 "next_probe_seq": self._probe_seq,
-                "gens": self._prior_gens + [self._gen],
+                "gen_bounds": {
+                    **self._gen_bounds,
+                    self._gen: self._probe_seq,
+                },
             }
         catalog.table(f"{prefix}_bloom").overwrite(self.state, counters=counters)
         if self.exact_store is not None:
@@ -335,12 +343,24 @@ class BloomSeenSet:
         self.state = t.read().persist()
         if self.exact_store is not None:
             c = t.counters()
-            self._committed_seq = int(c.get("next_probe_seq", 0)) - 1
-            self._prior_gens = list(c.get("gens", []))
-            self._probe_seq = self._committed_seq + 1
+            next_seq = int(c.get("next_probe_seq", 0))
+            if "gen_bounds" in c:
+                self._gen_bounds = {
+                    g: int(b) for g, b in c["gen_bounds"].items()
+                }
+            else:
+                # pre-round-7 snapshot: only the gen list and one global
+                # bound exist — give every prior gen that bound (the old
+                # semantics, correct for single-resume chains)
+                self._gen_bounds = {
+                    g: next_seq for g in c.get("gens", [])
+                }
+            self._probe_seq = next_seq
             # self._gen stays this run's fresh id: rows a crashed run
-            # appended past the committed bound carry an old gen and a
-            # seq above it — excluded by valid() — while this run's
+            # appended past ITS generation's committed bound carry an
+            # old gen and a seq at/above that gen's bound — excluded by
+            # valid() even after later generations commit higher seqs
+            # (per-gen bounds, ADVICE r6 #1) — while this run's
             # re-appends are valid via gen equality
             return
         self._exact_parts = [catalog.table(f"{prefix}_exact").read().persist()]
@@ -467,7 +487,9 @@ class BucketedExactStore:
     per-run generation id — so a resumed crawl can exclude ORPHAN
     appends (rows a crashed run wrote after its last committed wave)
     without rewriting history: validity is ``gen == current-run`` OR
-    ``(seq <= committed bound AND gen ∈ committed generation chain)``.
+    ``seq < committed high-water mark OF THE ROW'S OWN generation``
+    (per-gen bounds — a single chain-wide bound let later commits
+    shadow an earlier run's orphan seqs, ADVICE r6 #1).
     This is the sandbox stand-in for Iceberg snapshot rollback (which
     discards uncommitted file sets as pure metadata); the filter rides
     the same in-place bucketed scan, so the join shape is unchanged.
@@ -530,39 +552,41 @@ class BucketedExactStore:
 
     def valid(
         self,
-        upto_seq: int | None = None,
         gen: str | None = None,
-        prior_gens: list[str] | None = None,
+        gen_bounds: dict[str, int] | None = None,
     ) -> DataFrame:
         """The committed-valid view: everything (no bounds given), or
-        current-generation rows plus committed prior-generation rows —
-        orphan rows from crashed runs drop out (see class docstring)."""
+        current-generation rows plus prior-generation rows below THEIR
+        OWN generation's committed high-water mark — orphan rows from
+        crashed runs drop out and STAY out even after later generations
+        commit higher seqs (per-gen bounds, ADVICE r6 #1; the old
+        single global bound over the whole gen chain resurrected them).
+        The predicate is per-row, so it rides the in-place bucketed
+        scan — the one-Exchange rescue shape is unchanged."""
         df = self.df
-        if upto_seq is None and gen is None:
+        if gen is None and not gen_bounds:
             return df
         cond = F.lit(False)
         if gen is not None:
             cond = cond | (F.col("gen") == gen)
-        if upto_seq is not None:
-            seq_ok = F.col("seq") <= F.lit(upto_seq)
-            if prior_gens:
-                seq_ok = seq_ok & F.col("gen").isin(prior_gens)
-            cond = cond | seq_ok
+        for g, bound in (gen_bounds or {}).items():
+            cond = cond | (
+                (F.col("gen") == g) & (F.col("seq") < F.lit(int(bound)))
+            )
         return df.where(cond)
 
     def rescue(
         self,
         maybe: DataFrame,
         url_col: str = "url",
-        upto_seq: int | None = None,
         gen: str | None = None,
-        prior_gens: list[str] | None = None,
+        gen_bounds: dict[str, int] | None = None,
     ) -> DataFrame:
         """maybe-seen sliver → rows NOT in the (valid) exact history.
         The exact side resolves the join's hash-partitioning requirement
         from its bucketing — scanned in place, no exchange; the validity
         filter is a per-row predicate above the same scan."""
-        ex = self.valid(upto_seq, gen, prior_gens)
+        ex = self.valid(gen, gen_bounds)
         return maybe.join(
             ex.select(F.col("url").alias(url_col)), url_col, "left_anti"
         )

@@ -136,7 +136,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _repetition_cols(text_col):
+def _repetition_cols(text_name: str, g2_name: str = "__g2"):
     """Gopher-style repetition/quality signals over a text column, as
     integer-e4 expressions every engine reproduces bit-for-bit (single
     double division per metric, floor-truncated — see ``_e4``):
@@ -152,27 +152,35 @@ def _repetition_cols(text_col):
 
     The per-row 2-gram mode is O(distinct·n) NATIVE list work inside
     whole-stage codegen — documents are bounded (10s-1000s of tokens),
-    so this stays JVM-side with no UDF and no shuffle."""
+    so this stays JVM-side with no UDF and no shuffle.
+
+    Round 7 (ADVICE r6 #4): the expressions are built from the PASSED
+    column names — the old signature took a Column but hardcoded
+    ``__t``/``__g2`` inside its F.expr bodies, silently computing over
+    the wrong (or a missing) column for any other input."""
+    text_col = F.col(text_name)
     lines = F.split(text_col, "\n")
     words = F.split(text_col, r"\s+")
     n_lines = F.size(lines)
     n_words = F.size(words)
     g2 = F.expr(
-        "CASE WHEN size(split(__t, '\\\\s+')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(__t, '\\\\s+')) - 1), "
-        "i -> concat(element_at(split(__t, '\\\\s+'), i), ' ', "
-        "element_at(split(__t, '\\\\s+'), i + 1))) END"
+        f"CASE WHEN size(split({text_name}, '\\\\s+')) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(split({text_name}, '\\\\s+')) - 1), "
+        f"i -> concat(element_at(split({text_name}, '\\\\s+'), i), ' ', "
+        f"element_at(split({text_name}, '\\\\s+'), i + 1))) END"
     )
     top2_cnt = F.expr(
-        "CASE WHEN size(__g2) = 0 THEN 0.0 ELSE "
-        "array_max(transform(array_distinct(__g2), "
-        "u -> size(filter(__g2, x -> x = u)))) * 10000.0 / size(__g2) END"
+        f"CASE WHEN size({g2_name}) = 0 THEN 0.0 ELSE "
+        f"array_max(transform(array_distinct({g2_name}), "
+        f"u -> size(filter({g2_name}, x -> x = u)))) * 10000.0 "
+        f"/ size({g2_name}) END"
     )
     n_hash = F.length(text_col) - F.length(
-        F.expr("replace(__t, '#', '')")
+        F.expr(f"replace({text_name}, '#', '')")
     )
     n_ellipsis = (
-        F.length(text_col) - F.length(F.expr("replace(__t, '...', '')"))
+        F.length(text_col)
+        - F.length(F.expr(f"replace({text_name}, '...', '')"))
     ) / F.lit(3)
     return {
         "n_lines": n_lines.cast("int"),
@@ -208,7 +216,7 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 7 == 0, F.concat(t1, F.lit(" # # ..."))
     ).otherwise(t1)
     base = d.select("doc_id", t2.alias("__t"))
-    c = _repetition_cols(F.col("__t"))
+    c = _repetition_cols("__t")
     return (
         base.withColumn("__g2", c["g2"])
         .select(
@@ -227,7 +235,7 @@ def raw_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition signal ``corpus_build`` consumes when its config sets
     ``max_top2gram_frac_e4`` (pipeline/corpus.py)."""
     d = docs(spark, sf_dir).select("doc_id", F.col("text").alias("__t"))
-    c = _repetition_cols(F.col("__t"))
+    c = _repetition_cols("__t")
     return d.withColumn("__g2", c["g2"]).select(
         "doc_id",
         F.floor(c["top2_frac"]).cast("long").alias("top2gram_frac_e4"),

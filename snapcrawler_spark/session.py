@@ -44,6 +44,12 @@ def get_spark(
         # decoded pixels fits comfortably in executor memory at 100 TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # long driver sessions (crawl + query suite in one JVM)
+        # accumulate out-of-scope localCheckpoint/cache blocks that the
+        # ContextCleaner only reclaims after a driver GC; the default
+        # 30min periodic GC lets them pile onto storage memory for the
+        # whole bench — reclaim every 2min instead (round 7)
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -256,7 +256,37 @@ class TestBucketedBackend:
             store.append(p(_urls(spark, 100, 200)), seq=1, gen="A")  # orphan
             store.append(p(_urls(spark, 200, 300)), seq=1, gen="B")  # current
             got = {
-                r.url for r in store.valid(0, "B", ["A"]).select("url").collect()
+                r.url
+                for r in store.valid("B", {"A": 1}).select("url").collect()
+            }
+            ids = {int(u.rsplit("/", 1)[1]) for u in got}
+            assert ids == set(range(0, 100)) | set(range(200, 300))
+        finally:
+            store.drop()
+
+    def test_orphans_stay_dead_after_later_generations_commit(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6 #1 regression: gen A commits seq 0 then crashes
+        after appending seq 1; gen B (restored, seq restarts at 1)
+        commits ITS seq 1. Under a single chain-wide bound A's orphan
+        seq 1 became valid once B's commit raised the bound past it —
+        per-gen bounds must keep it dead while keeping B's seq-1 rows
+        alive."""
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        store = BucketedExactStore(spark, str(tmp_path / "sv2"), buckets=4)
+        try:
+            p = lambda df: df.withColumn("pid", F.lit(0))  # noqa: E731
+            store.append(p(_urls(spark, 0, 100)), seq=0, gen="A")
+            store.append(p(_urls(spark, 100, 200)), seq=1, gen="A")  # orphan
+            store.append(p(_urls(spark, 200, 300)), seq=1, gen="B")
+            # chain state after B's commit: A committed through seq<1,
+            # B through seq<2; gen C is the current (restored) run
+            bounds = {"A": 1, "B": 2}
+            got = {
+                r.url
+                for r in store.valid("C", bounds).select("url").collect()
             }
             ids = {int(u.rsplit("/", 1)[1]) for u in got}
             assert ids == set(range(0, 100)) | set(range(200, 300))
@@ -294,7 +324,7 @@ class TestBucketedBackend:
             got = {
                 r.url
                 for r in store.rescue(
-                    _urls(spark, 250, 350), upto_seq=5, prior_gens=["A"]
+                    _urls(spark, 250, 350), gen_bounds={"A": 6}
                 ).collect()
             }
             assert {int(u.rsplit("/", 1)[1]) for u in got} == set(
@@ -343,6 +373,62 @@ class TestBucketedBackend:
             assert news == set(range(200, 300))
         finally:
             s2.drop()
+
+    def test_double_resume_keeps_first_runs_orphans_dead(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6 #1 end-to-end: run 1 commits then orphan-appends;
+        run 2 resumes, probes (reusing the orphans' seq numbers) and
+        commits PAST them; run 3 resumes. The orphan URLs were never
+        admitted by a committed probe, so run 3 must still see them as
+        NEW — the old chain-wide bound resurrected them here."""
+        from snapcrawler_spark.catalog import SnapshotCatalog
+        from snapcrawler_spark.operators.seen import BucketedExactStore
+
+        cat = SnapshotCatalog(spark, str(tmp_path / "cat2"))
+        path = str(tmp_path / "st2")
+        s1 = BucketedExactStore(spark, path, buckets=4)
+        b1 = BloomSeenSet(
+            spark, partitions=4, m_bits=1 << 8, n_hashes=5, exact_store=s1
+        )
+        try:
+            b1.probe_and_insert(_urls(spark, 0, 100))
+            b1.snapshot(cat, "seen")
+            # dead run 1: one orphan append past its commit
+            s1.append(
+                _urls(spark, 500, 520).withColumn("pid", F.lit(0)),
+                seq=b1._probe_seq,
+                gen=b1._gen,
+            )
+        finally:
+            s1.drop()
+        s2 = BucketedExactStore(spark, path, buckets=4)
+        b2 = BloomSeenSet(
+            spark, partitions=4, m_bits=1 << 8, n_hashes=5, exact_store=s2
+        )
+        try:
+            b2.restore(cat, "seen")
+            # run 2 probes twice (seqs reuse + pass the orphans' seq)
+            b2.probe_and_insert(_urls(spark, 100, 200))
+            b2.probe_and_insert(_urls(spark, 200, 300))
+            b2.snapshot(cat, "seen")
+        finally:
+            s2.drop()
+        s3 = BucketedExactStore(spark, path, buckets=4)
+        b3 = BloomSeenSet(
+            spark, partitions=4, m_bits=1 << 8, n_hashes=5, exact_store=s3
+        )
+        try:
+            b3.restore(cat, "seen")
+            out = b3.probe_and_insert(_urls(spark, 450, 550))
+            news = {
+                int(r.url.rsplit("/", 1)[1])
+                for r in out.where("was_new").collect()
+            }
+            # run 1's orphans (500..519) must still probe as NEW
+            assert news == set(range(450, 550))
+        finally:
+            s3.drop()
 
 
 class TestPoliteness:
