@@ -201,12 +201,21 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + ordered top-10."""
+    """TPC-H Q3 shape: 3-way join + agg + ordered top-10.
+
+    Round 7 (guide §3.1): broadcast the SMALL side deliberately — the
+    planner's post-filter size estimate put the date-filtered lineitem
+    (~half the table) under the broadcast threshold and built a
+    multi-million-row hash relation on the driver; the
+    customer⋈orders subtree (segment × date filtered) is orders of
+    magnitude smaller, and with it broadcast the lineitem scan streams
+    map-side with no exchange before the aggregate."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
+        .hint("broadcast")
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(

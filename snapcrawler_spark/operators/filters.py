@@ -212,11 +212,21 @@ def image_pipeline(
         wm_col = watermark_udf(F.col("bytes"))
     else:
         wm_col = F.lit(False)
+    # Spread the decode stage across the cluster explicitly: AQE
+    # coalesces the join's post-shuffle partitions by BYTES (advisory
+    # 64 MB), but decode cost is per-row Python CPU — at fixture scale
+    # the whole corpus coalesced into ONE partition and decoded on one
+    # core (round-7 profile: 10 s single-threaded vs 3 s spread; the
+    # dominant finalize cost). Byte size is the wrong proxy for an
+    # opaque CPU-bound UDF stage; one extra pass over the payload is
+    # ~10-100× cheaper than the Python decode of the same bytes.
+    n_decode_parts = items.sparkSession.sparkContext.defaultParallelism
     need_decode = (
         fetched.where(F.col("pre_reason").isNull())
         .select("image_id")
         .distinct()
         .join(images.select("image_id", "bytes", "caption"), "image_id")
+        .repartition(n_decode_parts)
         .withColumn("dec", decode_meta_udf(F.col("bytes")))
         .select(
             "image_id",
