@@ -44,7 +44,7 @@ class CorpusConfig:
     keep_lang: str = "en"
     min_quality_e4: int = 3000
     cluster_threshold: float = 0.5  # minhash-LSH near-dup threshold
-    # Gopher-style repetition gate (pipeline/text._repetition_cols):
+    # Gopher-style repetition gate (pipeline/text._rep_metrics_kernel):
     # drop docs whose most frequent word 2-gram takes more than this
     # fraction (×10⁴) of all 2-gram slots. None = stage off (the
     # default and ALT points predate the signal and stay bit-identical)

@@ -45,16 +45,46 @@ def _hash60(col):
 
 
 def shingles(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle): distinct k-word shingles per document."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return df.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    """(doc_id, shingle): distinct k-word shingles per document.
+
+    Round 7 (optimization, output-identical): built per doc inside one
+    mapInPandas kernel — the interpreted split → sequence →
+    transform(slice + concat_ws) → array_distinct chain was 17 of the
+    23 s of the signature stage at sf1.0 (guide §4.2). Same string
+    construction: shingle i = toks[i:i+k] joined by spaces for
+    i ∈ [0, max(n-k, 0)] (short docs yield their whole token list),
+    distinct per doc as a set — row order is free (every consumer
+    aggregates or joins); null-text docs drop exactly like the old
+    explode dropped them."""
+    import numpy as np
+    import pandas as pd
+
+    def _sh(batches):
+        for pdf in batches:
+            ids = []
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                n = len(toks)
+                if n <= k:
+                    sset = {" ".join(toks)}
+                else:
+                    sset = {
+                        " ".join(toks[i : i + k]) for i in range(n - k + 1)
+                    }
+                ids.extend([doc_id] * len(sset))
+                out.extend(sset)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "shingle": out,
+                }
+            )
+
+    d = df.select("doc_id", "text").where(F.col("text").isNotNull())
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return d.repartition(n_parts).mapInPandas(
+        _sh, "doc_id long, shingle string"
     )
 
 

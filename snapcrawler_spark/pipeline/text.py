@@ -182,65 +182,93 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _repetition_cols(text_name: str, g2_name: str = "__g2"):
-    """Gopher-style repetition/quality signals over a text column, as
-    integer-e4 expressions every engine reproduces bit-for-bit (single
-    double division per metric, floor-truncated — see ``_e4``):
+def _rep_metrics_kernel(seed_lines: bool, seed_symbols: bool):
+    """mapInPandas kernel computing the Gopher-style repetition metrics
+    per doc (round 7, output-identical — guide §4.2).
 
-    - ``dup_line_frac_e4``: fraction of newline-separated lines that are
-      duplicates of an earlier line (Rae et al. 2021 "duplicate line
-      fraction");
-    - ``top2gram_frac_e4``: fraction of word 2-grams taken by the most
-      frequent 2-gram (Gopher's "top 2-gram fraction", counted over
-      2-gram occurrences rather than characters — documented deviation);
-    - ``symbol_word_ratio_e4``: ('#' count + '…'-as-'...' count) per
-      word (Gopher's symbol-to-word ratio).
+    Why a kernel: the native-expression form kept the 2-gram array as a
+    projected column, and in larger plans (corpus_build with the
+    repetition gate) Catalyst inlined that array-construction
+    expression INSIDE the per-distinct-2-gram filter lambda — the
+    split+transform re-evaluated once per distinct 2-gram per doc,
+    turning an O(n·distinct) mode computation into O(n²·distinct)
+    interpreted work (corpus_build_rep measured 373 s at sf0.1 vs
+    corpus_reasons_rep 10.5 s, pure plan-shape luck). The kernel emits
+    concrete metric columns; there is nothing left to inline.
 
-    The per-row 2-gram mode is O(distinct·n) NATIVE list work inside
-    whole-stage codegen — documents are bounded (10s-1000s of tokens),
-    so this stays JVM-side with no UDF and no shuffle.
+    Exactness notes: words split uses the explicit Java \\s class
+    [ \\t\\n\\x0B\\f\\r] (Python's \\s is Unicode-wider); lines split
+    on the literal newline keeps empties like F.split's limit -1;
+    counts are exact ints; every ratio reproduces the expression's IEEE
+    double op order (count·10000.0 / n, (3c)/3 true division) before
+    the floor."""
+    import re
 
-    Round 7 (ADVICE r6 #4): the expressions are built from the PASSED
-    column names — the old signature took a Column but hardcoded
-    ``__t``/``__g2`` inside its F.expr bodies, silently computing over
-    the wrong (or a missing) column for any other input."""
-    text_col = F.col(text_name)
-    lines = F.split(text_col, "\n")
-    words = F.split(text_col, r"\s+")
-    n_lines = F.size(lines)
-    n_words = F.size(words)
-    g2 = F.expr(
-        f"CASE WHEN size(split({text_name}, '\\\\s+')) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(split({text_name}, '\\\\s+')) - 1), "
-        f"i -> concat(element_at(split({text_name}, '\\\\s+'), i), ' ', "
-        f"element_at(split({text_name}, '\\\\s+'), i + 1))) END"
-    )
-    top2_cnt = F.expr(
-        f"CASE WHEN size({g2_name}) = 0 THEN 0.0 ELSE "
-        f"array_max(transform(array_distinct({g2_name}), "
-        f"u -> size(filter({g2_name}, x -> x = u)))) * 10000.0 "
-        f"/ size({g2_name}) END"
-    )
-    n_hash = F.length(text_col) - F.length(
-        F.expr(f"replace({text_name}, '#', '')")
-    )
-    n_ellipsis = (
-        F.length(text_col)
-        - F.length(F.expr(f"replace({text_name}, '...', '')"))
-    ) / F.lit(3)
-    return {
-        "n_lines": n_lines.cast("int"),
-        "dup_line_frac_e4": F.floor(
-            (n_lines - F.size(F.array_distinct(lines)))
-            * F.lit(10000.0)
-            / n_lines
-        ).cast("long"),
-        "g2": g2,
-        "top2_frac": top2_cnt,
-        "symbol_word_ratio_e4": F.floor(
-            (n_hash + n_ellipsis) * F.lit(10000.0) / n_words
-        ).cast("long"),
-    }
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def _m(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            n = len(pdf)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n_lines_a = np.empty(n, dtype=np.int32)
+            dup_e4 = np.empty(n, dtype=np.int64)
+            top2_e4 = np.empty(n, dtype=np.int64)
+            sym_e4 = np.empty(n, dtype=np.int64)
+            for r, (doc_id, text) in enumerate(
+                zip(ids, pdf["text"])
+            ):
+                t = text
+                if seed_lines and doc_id % 5 == 0:
+                    t = t + "\n" + t
+                if seed_symbols and doc_id % 7 == 0:
+                    t = t + " # # ..."
+                lines = t.split("\n")
+                nl = len(lines)
+                n_lines_a[r] = nl
+                dup_e4[r] = int(
+                    np.floor((nl - len(set(lines))) * 10000.0 / nl)
+                )
+                words = ws.split(t)
+                nw = len(words)
+                if nw < 2:
+                    top2 = 0.0
+                else:
+                    g2_n = nw - 1
+                    top = max(
+                        Counter(
+                            words[i] + " " + words[i + 1]
+                            for i in range(g2_n)
+                        ).values()
+                    )
+                    top2 = top * 10000.0 / g2_n
+                top2_e4[r] = int(np.floor(top2))
+                n_hash = t.count("#")
+                n_ell = (3 * t.count("...")) / 3
+                sym_e4[r] = int(
+                    np.floor((n_hash + n_ell) * 10000.0 / nw)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_lines": n_lines_a,
+                    "dup_line_frac_e4": dup_e4,
+                    "top2gram_frac_e4": top2_e4,
+                    "symbol_word_ratio_e4": sym_e4,
+                }
+            )
+
+    return _m
+
+
+_REP_SCHEMA = (
+    "doc_id long, n_lines int, dup_line_frac_e4 long, "
+    "top2gram_frac_e4 long, symbol_word_ratio_e4 long"
+)
 
 
 def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,25 +280,20 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 5 == 0 get their text duplicated across a newline (dup-line
     fraction 1/2 unless the % 7 suffix splits the pair), docs with
     doc_id % 7 == 0 get a ' # # ...' symbol suffix. top2gram is
-    non-vacuous on the RAW text already (bounded vocabulary)."""
-    d = docs(spark, sf_dir)
-    t1 = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(F.col("text"), F.lit("\n"), F.col("text")),
-    ).otherwise(F.col("text"))
-    t2 = F.when(
-        F.col("doc_id") % 7 == 0, F.concat(t1, F.lit(" # # ..."))
-    ).otherwise(t1)
-    base = d.select("doc_id", t2.alias("__t"))
-    c = _repetition_cols("__t")
+    non-vacuous on the RAW text already (bounded vocabulary).
+
+    Round 7: metrics come from ``_rep_metrics_kernel`` (seeding applied
+    inside the kernel — identical string construction)."""
+    d = (
+        docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
     return (
-        base.withColumn("__g2", c["g2"])
-        .select(
-            "doc_id",
-            c["n_lines"].alias("n_lines"),
-            c["dup_line_frac_e4"].alias("dup_line_frac_e4"),
-            F.floor(c["top2_frac"]).cast("long").alias("top2gram_frac_e4"),
-            c["symbol_word_ratio_e4"].alias("symbol_word_ratio_e4"),
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _rep_metrics_kernel(seed_lines=True, seed_symbols=True),
+            _REP_SCHEMA,
         )
         .orderBy("doc_id")
     )
@@ -279,13 +302,19 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def raw_top2gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, top2gram_frac_e4) over the RAW documents text — the
     repetition signal ``corpus_build`` consumes when its config sets
-    ``max_top2gram_frac_e4`` (pipeline/corpus.py)."""
-    d = docs(spark, sf_dir).select("doc_id", F.col("text").alias("__t"))
-    c = _repetition_cols("__t")
-    return d.withColumn("__g2", c["g2"]).select(
-        "doc_id",
-        F.floor(c["top2_frac"]).cast("long").alias("top2gram_frac_e4"),
+    ``max_top2gram_frac_e4`` (pipeline/corpus.py). Round 7: kernelized
+    (see ``_rep_metrics_kernel``)."""
+    d = (
+        docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
     )
+    return d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        _rep_metrics_kernel(seed_lines=False, seed_symbols=False),
+        _REP_SCHEMA,
+    ).select("doc_id", "top2gram_frac_e4")
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
