@@ -44,12 +44,14 @@ def get_spark(
         # decoded pixels fits comfortably in executor memory at 100 TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # long driver sessions (crawl + query suite in one JVM)
-        # accumulate out-of-scope localCheckpoint/cache blocks that the
-        # ContextCleaner only reclaims after a driver GC; the default
-        # 30min periodic GC lets them pile onto storage memory for the
-        # whole bench — reclaim every 2min instead (round 7)
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # NOTE (round 7): spark.cleaner.periodicGC.interval=2min was
+        # trialled to reclaim out-of-scope checkpoint blocks sooner and
+        # REVERTED on measurement — each forced GC floods the
+        # ContextCleaner with a session's worth of accumulated
+        # references whose (blocking) cleanup RPCs stall the driver
+        # mid-crawl: the second same-session crawl degraded 113 s →
+        # 187-289 s across three runs with it on, and recovered with
+        # the 30 min default. Keep the default.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
