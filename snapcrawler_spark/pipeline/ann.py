@@ -176,14 +176,24 @@ def ann_lsh(
         F.col("v").alias("pv"),
     ).select((F.col("rn") - 1).alias("plane_id"), "pv")
     sig = _signatures(emb, planes)
-    embs = emb.join(sig, "vec_id")
+    # norm computed ONCE per vector (round 7): sqrt(Σv²) is the same
+    # double whether evaluated per row or per candidate pair, and the
+    # cosine's divide/multiply sequence is unchanged — bit-identical,
+    # but 2 of the 3 per-pair array folds disappear
+    embs = emb.join(sig, "vec_id").withColumn("nrm", _norm(F.col("v")))
     q = embs.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
     )
     cand = q.join(
-        embs.select(F.col("vec_id").alias("nn_id"), "v", "bucket"), "bucket"
+        embs.select(
+            F.col("vec_id").alias("nn_id"), "v", "nrm", "bucket"
+        ),
+        "bucket",
     ).where(F.col("query_id") != F.col("nn_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     scored = cand.select(
         "query_id", "nn_id", F.floor(cos * 1_000_000).cast("long").alias("cosine_e6")
     )
@@ -254,10 +264,18 @@ def ann_lsh_multi(
         .select("query_id", "nn_id")
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("nn_id"), "v")
+    # per-vector norms (round 7) — see ann_lsh: bit-identical, 2 fewer
+    # per-pair folds
+    a = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"), "v", _norm(F.col("v")).alias("nn")
+    )
     pairs = cand.join(a, "query_id").join(b, "nn_id")
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
     scored = pairs.select(
         "query_id", "nn_id", F.floor(cos * 1_000_000).cast("long").alias("cosine_e6")
     )
@@ -404,10 +422,18 @@ def ann_ivf(
         .where(F.col("rk") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
     )
-    cand = probes.join(
-        assigned.select(F.col("vec_id").alias("nn_id"), "v", "cell"), "cell"
+    # per-vector norms (round 7) — see ann_lsh: bit-identical, 2 fewer
+    # per-pair folds
+    cand = probes.withColumn("qn", _norm(F.col("qv"))).join(
+        assigned.select(
+            F.col("vec_id").alias("nn_id"),
+            "v",
+            _norm(F.col("v")).alias("nn"),
+            "cell",
+        ),
+        "cell",
     ).where(F.col("query_id") != F.col("nn_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
     scored = cand.select(
         "query_id", "nn_id",
         F.floor(cos * 1_000_000).cast("long").alias("cosine_e6"),
@@ -495,12 +521,20 @@ def dedup_embedding_cosine(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("av"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("bv"))
-    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
-    cos = _dot(F.col("av"), F.col("bv")) / (
-        _norm(F.col("av")) * _norm(F.col("bv"))
+    # per-vector norms (round 7) — see ann_lsh: bit-identical, 2 fewer
+    # per-pair folds
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("av"),
+        _norm(F.col("v")).alias("an"),
     )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("bv"),
+        _norm(F.col("v")).alias("bn"),
+    )
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
+    cos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
         pairs.select(
             "vec_a",
