@@ -121,6 +121,75 @@ def _obs_n(obs, df) -> int:
     return int(row["n"])
 
 
+# Gate for the stale-session reclaim below: a full bench-scale crawl
+# leaves ~77 dead checkpoint RDDs behind; ordinary test sessions and
+# fresh sessions sit far under this, so they never pay the GC.
+STALE_RDD_RECLAIM_MIN = 32
+
+
+def _reclaim_stale_session_state(spark: SparkSession) -> float:
+    """Deterministically release a prior crawl's dead checkpoint state
+    before this crawl starts. Returns seconds spent (0.0 = gate not
+    tripped).
+
+    Why (round 7, measured): every crawl leaves its per-wave
+    localCheckpoint blocks behind — checkpoint blocks have no unpersist
+    API, so their release path is reference-collection: the Python
+    wrappers are cycle-garbage (collected only by a gen-2 pass, not
+    refcounting), py4j then detaches the JVM bindings, and a JVM GC
+    must run before the ContextCleaner's weak refs fire. None of that
+    happens promptly on a 48 GiB heap, so a second same-session crawl
+    runs against the first one's ghost state and its cleanup lands
+    mid-crawl (the measured "second-crawl drag": +12-39% wall).
+    Forcing ONLY a JVM GC makes it worse (the rejected
+    periodicGC.interval trial — the Python cycles still pin the
+    bindings, so the GC pays its pause and frees nothing). The working
+    order, A/B-measured in one JVM at bench scale (105.5 s fresh /
+    118.4 s dragged / 103.3 s after this exact sequence), is:
+    break the Python cycles first (gc.collect), THEN collect the JVM
+    (System.gc), then give the ContextCleaner a bounded drain window —
+    all BETWEEN crawls, where the pause costs setup seconds instead of
+    stalling wave actions.
+
+    Safety: both collections are semantics-free — live state (a
+    concurrent crawl's seen tables, a caller's cached DataFrames) is
+    reachable and therefore untouched; only garbage is released. The
+    gate keeps the cost off every small-session path."""
+    import gc
+
+    jsc = spark.sparkContext._jsc
+    try:
+        n = len(jsc.sc().getRDDStorageInfo())
+    except Exception:
+        return 0.0
+    if n < STALE_RDD_RECLAIM_MIN:
+        return 0.0
+    t0 = _time.time()
+    cur = n
+    # TWO JVM collections are required, not one (measured): py4j queues
+    # the detach commands produced by Python-side finalization and only
+    # flushes them alongside the NEXT gateway command — which is the
+    # System.gc() call itself — so the first collection always runs
+    # before the JVM bindings are actually released and frees nothing;
+    # the second collection then reclaims the whole pile (40 → 1 in the
+    # sequencing probe). The drain poll after each collection gives the
+    # ContextCleaner's own thread time to remove the blocks; live
+    # blocks legitimately keep the count above zero, hence the
+    # below-gate break rather than a zero target.
+    for _ in range(3):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        deadline = _time.time() + 1.2
+        while _time.time() < deadline:
+            _time.sleep(0.1)
+            cur = len(jsc.sc().getRDDStorageInfo())
+            if cur < STALE_RDD_RECLAIM_MIN:
+                break
+        if cur < STALE_RDD_RECLAIM_MIN:
+            break
+    return _time.time() - t0
+
+
 @dataclass
 class WaveMetrics:
     wave: int
@@ -154,6 +223,9 @@ class WaveCrawl:
         self.count_candidates = count_candidates
         self.total_candidates = 0
         self.spark = spark
+        # release any prior crawl's dead checkpoint state up front (see
+        # _reclaim_stale_session_state) — timed into the setup phase
+        reclaim_secs = _reclaim_stale_session_state(spark)
         self.t = tables
         self.cfg = cfg
         self.catalog = catalog
@@ -236,6 +308,8 @@ class WaveCrawl:
         # stages+verdict filter+exact-rescue anti-join+parquet
         # round-trip
         self.phase_secs: dict[str, float] = {}
+        if reclaim_secs:
+            self.phase_secs["stale_reclaim"] = reclaim_secs
         # NOTE on self._scratch (created at the top of __init__): it
         # holds wave-boundary frontier snapshots (the local stand-in
         # for the Iceberg snapshot store); only the latest wave's file

@@ -51,7 +51,11 @@ def get_spark(
         # references whose (blocking) cleanup RPCs stall the driver
         # mid-crawl: the second same-session crawl degraded 113 s →
         # 187-289 s across three runs with it on, and recovered with
-        # the 30 min default. Keep the default.
+        # the 30 min default. Keep the default. The drag the trial
+        # aimed at is instead solved deterministically BETWEEN crawls
+        # by plans.wave_crawl._reclaim_stale_session_state (which also
+        # explains why a JVM-only GC cannot work: the Python-side
+        # cycles must be collected first or py4j keeps the bindings).
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
